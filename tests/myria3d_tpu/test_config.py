@@ -1,0 +1,108 @@
+"""Tests for the hydra-style config system."""
+
+import os
+
+import pytest
+
+from myria3d_tpu.utils.config import (
+    ConfigError,
+    compose,
+    get_method,
+    instantiate,
+    select,
+    to_yaml,
+)
+
+from tests.conftest import CONFIG_DIR
+
+
+def test_compose_default_tree():
+    cfg = compose(CONFIG_DIR, "config.yaml", [])
+    assert cfg.seed == 12345
+    # experiment RandLaNetDebug overlay applied at global package
+    assert cfg.trainer.max_epochs == 1
+    assert cfg.datamodule.batch_size == 2
+    # interpolation across groups
+    assert cfg.model.num_classes == 7
+    assert cfg.model.neural_net_hparams.num_features == 9
+    assert cfg.model.neural_net_hparams.num_neighbors == 16
+    # oc.dict.values turns transform dicts into ordered lists
+    prep = cfg.datamodule.transforms.preparations_train_list
+    assert isinstance(prep, list) and len(prep) == 6
+    assert prep[0]["_target_"].endswith("TargetTransform")
+    # hdf5 path uses ${hydra:runtime.cwd}
+    assert cfg.datamodule.hdf5_file_path.endswith("tests/data/toy_dataset.hdf5")
+
+
+def test_value_overrides():
+    cfg = compose(
+        CONFIG_DIR,
+        "config.yaml",
+        ["datamodule.batch_size=7", "trainer.max_epochs=3", "model.lr=0.5"],
+    )
+    assert cfg.datamodule.batch_size == 7
+    assert cfg.trainer.max_epochs == 3
+    assert cfg.model.lr == 0.5
+
+
+def test_group_choice_overrides():
+    cfg = compose(CONFIG_DIR, "config.yaml", ["experiment=predict"])
+    assert cfg.task.task_name == "predict"
+    assert cfg.datamodule.batch_size == 50
+
+
+def test_nested_group_choice_override():
+    cfg = compose(
+        CONFIG_DIR,
+        "config.yaml",
+        ["model/lr_scheduler=OneCycleLR", "model/criterion=WeightedCrossEntropyLoss"],
+    )
+    assert "OneCycleLR" in cfg.model.lr_scheduler._args_[0]
+    assert cfg.model.criterion.weight == [0.25, 0.1, 0.1, 0.5, 2.0, 2.0, 2.0]
+
+
+def test_experiment_override_defaults_entry():
+    # RandLaNet_base_run_FR declares `override /datamodule/transforms/augmentations: light.yaml`
+    cfg = compose(CONFIG_DIR, "config.yaml", ["experiment=RandLaNet_base_run_FR"])
+    augs = cfg.datamodule.transforms.augmentations_list
+    assert len(augs) == 2
+    assert all(a["_target_"].endswith("RandomFlip") for a in augs)
+    assert cfg.trainer.accumulate_grad_batches == 3
+
+
+def test_oc_env_resolver(monkeypatch):
+    monkeypatch.setenv("LOGS_DIR", "/tmp/mylogs")
+    cfg = compose(CONFIG_DIR, "config.yaml", [])
+    assert cfg.logger.csv.save_dir == "/tmp/mylogs"
+
+
+def test_instantiate_partial_and_get_method():
+    node = {
+        "_target_": "functools.partial",
+        "_args_": ["${get_method:os.path.join}"],
+    }
+    fn = instantiate(node)
+    assert fn("a", "b") == os.path.join("a", "b")
+    assert get_method("os.path.join") is os.path.join
+
+
+def test_instantiate_recursion():
+    node = {
+        "outer": {"_target_": "collections.OrderedDict", "a": 1},
+        "plain": [1, 2],
+    }
+    out = instantiate(node)
+    assert dict(out["outer"]) == {"a": 1}
+    assert out["plain"] == [1, 2]
+
+
+def test_interpolation_missing_key_raises():
+    with pytest.raises(ConfigError):
+        compose(CONFIG_DIR, "config.yaml", ["model.d_in=${nonexistent.key}"])
+
+
+def test_to_yaml_roundtrip():
+    cfg = compose(CONFIG_DIR, "config.yaml", [])
+    text = to_yaml(cfg)
+    assert "task_name: fit" in text
+    assert select(cfg, "datamodule.subtile_width") == 50
