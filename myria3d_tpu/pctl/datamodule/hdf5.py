@@ -1,0 +1,200 @@
+"""Datamodule feeding fixed-shape padded batches to the train/eval/predict loops.
+
+Re-design of reference ``myria3d/pctl/datamodule/hdf5.py:24-189`` without
+Lightning: owns dataset preparation, per-phase transform composition
+(preparations + normalizations + augmentations), and the four loaders.
+"""
+
+from __future__ import annotations
+
+from numbers import Number
+from typing import Callable, Dict, List, Optional
+
+from myria3d_tpu.pctl.batching import DEFAULT_BUCKETS
+from myria3d_tpu.pctl.dataset.hdf5 import HDF5Dataset
+from myria3d_tpu.pctl.dataset.iterable import InferenceDataset
+from myria3d_tpu.pctl.dataset.utils import (
+    get_las_paths_by_split_dict,
+    pre_filter_below_n_points,
+)
+from myria3d_tpu.pctl.loader import PaddedBatchLoader
+from myria3d_tpu.pctl.transforms.compose import CustomCompose
+
+TRANSFORMS_LIST = List[Callable]
+
+
+class HDF5LidarDataModule:
+    """Datamodule to feed train and validation data to the model."""
+
+    def __init__(
+        self,
+        data_dir: Optional[str],
+        split_csv_path: Optional[str],
+        hdf5_file_path: str,
+        epsg: Optional[str],
+        points_pre_transform: Optional[Callable] = None,
+        pre_filter: Optional[Callable] = pre_filter_below_n_points,
+        tile_width: Number = 1000,
+        subtile_width: Number = 50,
+        subtile_overlap_train: Number = 0,
+        subtile_overlap_predict: Number = 0,
+        batch_size: int = 12,
+        num_workers: int = 1,
+        prefetch_factor: int = 2,
+        transforms: Optional[Dict[str, TRANSFORMS_LIST]] = None,
+        padded_num_points: Optional[int] = None,
+        bucketing: bool = True,
+        **kwargs,
+    ):
+        self.split_csv_path = split_csv_path
+        self.data_dir = data_dir
+        self.hdf5_file_path = hdf5_file_path
+        self.epsg = epsg
+        self._dataset: Optional[HDF5Dataset] = None
+        self.las_paths_by_split_dict = None
+
+        self.points_pre_transform = points_pre_transform
+        self.pre_filter = pre_filter
+
+        self.tile_width = tile_width
+        self.subtile_width = subtile_width
+        self.subtile_overlap_train = subtile_overlap_train
+        self.subtile_overlap_predict = subtile_overlap_predict
+
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.prefetch_factor = prefetch_factor
+
+        t = transforms or {}
+        self.preparation_train_transform: TRANSFORMS_LIST = t.get("preparations_train_list", [])
+        self.preparation_eval_transform: TRANSFORMS_LIST = t.get("preparations_eval_list", [])
+        self.preparation_predict_transform: TRANSFORMS_LIST = t.get(
+            "preparations_predict_list", []
+        )
+        self.augmentation_transform: TRANSFORMS_LIST = t.get("augmentations_list", [])
+        self.normalization_transform: TRANSFORMS_LIST = t.get("normalizations_list", [])
+
+        if bucketing:
+            cap = padded_num_points
+            if cap is None:
+                cap = self._infer_point_cap() or DEFAULT_BUCKETS[-1]
+            self.buckets = tuple(b for b in DEFAULT_BUCKETS if b < cap) + (
+                _round_up_128(cap),
+            )
+        else:
+            cap = padded_num_points or self._infer_point_cap() or DEFAULT_BUCKETS[-1]
+            self.buckets = (_round_up_128(cap),)
+
+    def _infer_point_cap(self) -> Optional[int]:
+        """Use the MaximumNumNodes/FixedPoints transform cap as the pad cap."""
+        for tr in (
+            self.preparation_train_transform
+            + self.preparation_eval_transform
+            + self.preparation_predict_transform
+        ):
+            num = getattr(tr, "num", None)
+            if num is not None and type(tr).__name__ in ("MaximumNumNodes", "FixedPoints"):
+                return int(num)
+        return None
+
+    @property
+    def train_transform(self) -> CustomCompose:
+        return CustomCompose(
+            self.preparation_train_transform
+            + self.normalization_transform
+            + self.augmentation_transform
+        )
+
+    @property
+    def eval_transform(self) -> CustomCompose:
+        return CustomCompose(self.preparation_eval_transform + self.normalization_transform)
+
+    @property
+    def predict_transform(self) -> CustomCompose:
+        return CustomCompose(self.preparation_predict_transform + self.normalization_transform)
+
+    def prepare_data(self, stage: Optional[str] = None) -> None:
+        """Prepare the HDF5 dataset (process-0 work in multi-host setups)."""
+        if stage in ["fit", "test"] or stage is None:
+            if self.split_csv_path and self.data_dir:
+                self.las_paths_by_split_dict = get_las_paths_by_split_dict(
+                    self.data_dir, self.split_csv_path
+                )
+            else:
+                self.las_paths_by_split_dict = None
+        self.dataset  # noqa: B018 — builds the HDF5 file
+
+    def setup(self, stage: Optional[str] = None) -> None:
+        self.dataset  # noqa: B018
+
+    @property
+    def dataset(self) -> HDF5Dataset:
+        if self._dataset:
+            return self._dataset
+        self._dataset = HDF5Dataset(
+            self.hdf5_file_path,
+            self.epsg,
+            las_paths_by_split_dict=self.las_paths_by_split_dict,
+            points_pre_transform=self.points_pre_transform,
+            tile_width=self.tile_width,
+            subtile_width=self.subtile_width,
+            subtile_overlap_train=self.subtile_overlap_train,
+            pre_filter=self.pre_filter,
+            train_transform=self.train_transform,
+            eval_transform=self.eval_transform,
+        )
+        return self._dataset
+
+    def train_dataloader(self, seed: Optional[int] = None) -> PaddedBatchLoader:
+        return PaddedBatchLoader(
+            self.dataset.traindata,
+            batch_size=self.batch_size,
+            shuffle=True,
+            num_workers=self.num_workers,
+            prefetch_factor=self.prefetch_factor,
+            buckets=self.buckets,
+            seed=seed,
+        )
+
+    def val_dataloader(self) -> PaddedBatchLoader:
+        return PaddedBatchLoader(
+            self.dataset.valdata,
+            batch_size=self.batch_size,
+            num_workers=self.num_workers,
+            prefetch_factor=self.prefetch_factor,
+            buckets=self.buckets,
+        )
+
+    def test_dataloader(self) -> PaddedBatchLoader:
+        return PaddedBatchLoader(
+            self.dataset.testdata,
+            batch_size=self.batch_size,
+            num_workers=1,
+            prefetch_factor=self.prefetch_factor,
+            buckets=self.buckets,
+        )
+
+    def _set_predict_data(self, las_file_to_predict: str) -> None:
+        self.predict_dataset = InferenceDataset(
+            las_file_to_predict,
+            self.epsg,
+            points_pre_transform=self.points_pre_transform,
+            pre_filter=self.pre_filter,
+            transform=self.predict_transform,
+            tile_width=self.tile_width,
+            subtile_width=self.subtile_width,
+            subtile_overlap=self.subtile_overlap_predict,
+        )
+
+    def predict_dataloader(self) -> PaddedBatchLoader:
+        return PaddedBatchLoader(
+            self.predict_dataset,
+            batch_size=self.batch_size,
+            num_workers=1,
+            prefetch_factor=self.prefetch_factor,
+            buckets=self.buckets,
+        )
+
+
+def _round_up_128(n: int) -> int:
+    return ((int(n) + 127) // 128) * 128

@@ -1,0 +1,140 @@
+"""Prefetching padded-batch loader.
+
+Replaces the reference's torch DataLoader + GeometricNoneProofCollater
+(reference ``myria3d/pctl/dataloader/dataloader.py:5-32``): a thread-pool
+prefetching loader that yields fixed-shape ``PointCloudBatch`` objects.
+Threads (not processes) suffice because h5py reads and numpy transforms
+release the GIL for the heavy parts, and the padded collate is a memcpy.
+
+Prefetching overlaps host-side sample preparation with device compute — the
+"overlapped host I/O" requirement of the BASELINE (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import itertools
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from myria3d_tpu.pctl.batching import (
+    DEFAULT_BUCKETS,
+    PointCloudBatch,
+    collate_padded,
+)
+
+
+class PaddedBatchLoader:
+    """Map-style or iterable dataset → iterator of ``PointCloudBatch``.
+
+    None samples are dropped; a batch that ends up empty is skipped
+    (None-proof semantics). The batch dim is always ``batch_size``.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        num_workers: int = 2,
+        prefetch_factor: int = 2,
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+        drop_last: bool = False,
+        seed: Optional[int] = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.prefetch_factor = max(1, prefetch_factor)
+        self.buckets = buckets
+        self.drop_last = drop_last
+        self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def _sample_iter(self) -> Iterator[Optional[dict]]:
+        if hasattr(self.dataset, "__getitem__") and hasattr(self.dataset, "__len__"):
+            indices = np.arange(len(self.dataset))
+            if self.shuffle:
+                rng = np.random.default_rng(
+                    None if self.seed is None else self.seed + self._epoch
+                )
+                rng.shuffle(indices)
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                depth = self.num_workers * self.prefetch_factor * self.batch_size
+                it = iter(indices)
+                futures: "queue.Queue" = queue.Queue()
+                for idx in itertools.islice(it, depth):
+                    futures.put(pool.submit(self.dataset.__getitem__, int(idx)))
+                while not futures.empty():
+                    f = futures.get()
+                    nxt = next(it, None)
+                    if nxt is not None:
+                        futures.put(pool.submit(self.dataset.__getitem__, int(nxt)))
+                    yield f.result()
+        else:
+            yield from iter(self.dataset)
+
+    def __iter__(self) -> Iterator[PointCloudBatch]:
+        batch: List[Optional[dict]] = []
+        for sample in self._sample_iter():
+            if sample is None:
+                continue
+            batch.append(sample)
+            if len(batch) == self.batch_size:
+                collated = collate_padded(batch, self.batch_size, self.buckets)
+                if collated is not None:
+                    yield collated
+                batch = []
+        if batch and not self.drop_last:
+            collated = collate_padded(batch, self.batch_size, self.buckets)
+            if collated is not None:
+                yield collated
+
+    def __len__(self) -> int:
+        if hasattr(self.dataset, "__len__"):
+            n = len(self.dataset)
+            if self.drop_last:
+                return n // self.batch_size
+            return (n + self.batch_size - 1) // self.batch_size
+        raise TypeError("Length undefined for iterable datasets")
+
+
+class BackgroundIterator:
+    """Wrap any iterator to produce items from a background thread, keeping a
+    small buffer ahead — double-buffers host collate against device steps."""
+
+    _DONE = object()
+
+    def __init__(self, iterable: Iterable, max_prefetch: int = 2):
+        self._q: "queue.Queue" = queue.Queue(maxsize=max_prefetch)
+        self._err: Optional[BaseException] = None
+
+        def run() -> None:
+            try:
+                for item in iterable:
+                    self._q.put(item)
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                self._err = e
+            finally:
+                self._q.put(self._DONE)
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._DONE:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
