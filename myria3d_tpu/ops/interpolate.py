@@ -1,0 +1,43 @@
+"""Masked kNN feature interpolation (inverse-squared-distance weighting).
+
+Replaces ``torch_geometric.nn.unpool.knn_interpolate`` (decoder upsampling
+k=1, reference ``pyg_randla_net.py:250``; full-cloud eval/predict
+interpolation k=10, reference ``models/model.py:88-98``). The reference
+deliberately ran the k=10 interpolation on CPU ("KNN is way faster on CPU
+than on GPU by a 3 to 4 factor", ``model.py:87``); here it is a batched MXU
+matmul + top_k + gather — the CPU bottleneck becomes a device op.
+
+Weighting follows pyg semantics: w = 1 / max(d^2, 1e-16), y = Σ w·x / Σ w.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from myria3d_tpu.ops.knn import gather_neighbors, knn
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def knn_interpolate(
+    x: jnp.ndarray,            # (B, Ns, C) features at source points
+    pos_src: jnp.ndarray,      # (B, Ns, 3)
+    src_mask: jnp.ndarray,     # (B, Ns) bool
+    pos_tgt: jnp.ndarray,      # (B, Nt, 3)
+    tgt_mask: Optional[jnp.ndarray],  # (B, Nt) bool
+    k: int = 3,
+) -> jnp.ndarray:
+    """Interpolate source features onto target points. Returns (B, Nt, C)."""
+    idx, d2, neigh_valid = knn(pos_tgt, pos_src, src_mask, k, query_mask=tgt_mask)
+    w = 1.0 / jnp.maximum(d2, 1e-16)                    # (B, Nt, K)
+    w = jnp.where(neigh_valid, w, 0.0)
+    feats = gather_neighbors(x, idx)                     # (B, Nt, K, C)
+    num = jnp.sum(feats * w[..., None], axis=2)          # (B, Nt, C)
+    den = jnp.sum(w, axis=2, keepdims=False)[..., None]
+    out = num / jnp.maximum(den, 1e-16)
+    if tgt_mask is not None:
+        out = jnp.where(tgt_mask[..., None], out, 0.0)
+    return out

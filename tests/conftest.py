@@ -6,15 +6,39 @@ virtual 8-device CPU mesh so multi-chip sharding is exercised without TPUs.
 """
 
 import os
+import subprocess
+import sys
 
-# Must be set before jax import: virtual 8-device CPU mesh for sharding tests.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+import numpy as np
+import pytest
 
-import numpy as np  # noqa: E402
-import pytest  # noqa: E402
+# NOTE on platforms: in this environment a sitecustomize initializes the TPU
+# (axon) backend before conftest runs, so single-device tests execute on the
+# real chip. Multi-device mesh tests use ``run_in_cpu_mesh_subprocess`` below
+# to get a virtual 8-device CPU mesh in a scrubbed environment.
+
+CPU_MESH_ENV = {
+    "JAX_PLATFORMS": "cpu",
+    "PYTHONPATH": "",
+    "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+}
+
+
+def run_in_cpu_mesh_subprocess(code: str, n_devices: int = 8) -> str:
+    """Run python ``code`` in a subprocess with an N-device virtual CPU mesh."""
+    env = {**os.environ, **CPU_MESH_ENV}
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_devices}"
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root
+    result = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env,
+        timeout=600,
+    )
+    if result.returncode != 0:
+        raise AssertionError(
+            f"CPU-mesh subprocess failed:\nSTDOUT:\n{result.stdout}\nSTDERR:\n{result.stderr}"
+        )
+    return result.stdout
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CONFIG_DIR = os.path.join(REPO_ROOT, "configs")
