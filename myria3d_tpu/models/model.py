@@ -1,0 +1,289 @@
+"""Task-level model: train/eval/predict steps over padded batches.
+
+Replaces the reference LightningModule (``myria3d/models/model.py:32-198``)
+with a JAX-native design: an immutable ``TrainState`` pytree + pure jitted
+step functions built once and cached. The dual-regime forward is preserved
+(``model.py:80-98``): train/val optimize on subsampled points; test/predict
+kNN-interpolate logits back to the full cloud — but the reference's
+deliberate device->CPU hop for interpolation ("KNN is way faster on CPU",
+``model.py:87``) is replaced by a batched on-device MXU kNN
+(``myria3d_tpu.ops.interpolate``).
+
+Checkpoints are orbax directories holding the state pytree plus an
+``hparams.yaml`` snapshot of the model config, enabling bare
+``Model.load_from_checkpoint(path)`` at predict time (reference
+``predict.py:49``, Lightning ``save_hyperparameters`` analog).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from myria3d_tpu.models.criterion import CrossEntropyLoss
+from myria3d_tpu.models.modules import get_neural_net_class
+from myria3d_tpu.models.optimizers import adam
+from myria3d_tpu.ops.interpolate import knn_interpolate
+
+MODEL_CKPT_STATE_DIR = "state"
+MODEL_CKPT_HPARAMS = "hparams.yaml"
+
+
+class TrainState(struct.PyTreeNode):
+    """Replicable training state (params + BN stats + optimizer state)."""
+
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+class Model:
+    """Point-cloud semantic segmentation task (reference ``Model``)."""
+
+    def __init__(
+        self,
+        neural_net_class_name: str,
+        neural_net_hparams: Dict[str, Any],
+        lr: float = 1e-3,
+        optimizer: Optional[Callable] = None,
+        lr_scheduler: Optional[Callable] = None,
+        criterion: Optional[Callable] = None,
+        monitor: str = "val/loss_epoch",
+        interpolation_k: int = 10,
+        d_in: Optional[int] = None,
+        num_classes: Optional[int] = None,
+        classification_dict: Optional[Dict[int, str]] = None,
+        ckpt_path: Optional[str] = None,
+        accumulate_grad_batches: int = 1,
+        **kwargs: Any,
+    ):
+        self.neural_net_class_name = neural_net_class_name
+        self.neural_net_hparams = dict(neural_net_hparams)
+        neural_net_class = get_neural_net_class(neural_net_class_name)
+        self.net = neural_net_class(**self.neural_net_hparams)
+
+        self.num_classes = int(
+            num_classes or self.neural_net_hparams.get("num_classes")
+        )
+        self.d_in = int(d_in or self.neural_net_hparams.get("num_features"))
+        self.classification_dict = classification_dict or {}
+        self.lr = float(lr)
+        self.monitor = monitor
+        self.interpolation_k = int(interpolation_k)
+        self.criterion = criterion if criterion is not None else CrossEntropyLoss()
+        self.ckpt_path = ckpt_path
+
+        optimizer_factory = optimizer if optimizer is not None else adam
+        tx = optimizer_factory(lr=self.lr)
+        if accumulate_grad_batches and accumulate_grad_batches > 1:
+            # Reference gradient accumulation (``accumulate_grad_batches: 3``)
+            # via optax MultiSteps — params update every k micro-batches.
+            tx = optax.MultiSteps(tx, every_k_schedule=int(accumulate_grad_batches))
+        self.tx = tx
+        self.lr_scheduler_factory = lr_scheduler
+        # plain config snapshot for checkpoint hparams (set by train pipeline)
+        self.raw_hparams: Optional[dict] = None
+
+        self._jitted: Dict[str, Callable] = {}
+
+    # ------------------------------------------------------------------
+    # State
+    # ------------------------------------------------------------------
+
+    def init_state(self, rng: jax.Array, example_batch: Dict[str, np.ndarray]) -> TrainState:
+        """Initialize parameters/BN stats/optimizer state from one batch."""
+        p_rng, d_rng = jax.random.split(rng)
+        # jit the init: eager linen dispatch is ~30s on CPU for this net.
+        variables = jax.jit(
+            lambda r, x, pos, mask: self.net.init(r, x, pos, mask, train=False)
+        )(
+            {"params": p_rng, "decimation": d_rng},
+            example_batch["x"],
+            example_batch["pos"],
+            example_batch["mask"],
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", FrozenDict())
+        opt_state = self.tx.init(params)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+        )
+
+    def num_params(self, state: TrainState) -> int:
+        return sum(int(p.size) for p in jax.tree_util.tree_leaves(state.params))
+
+    # ------------------------------------------------------------------
+    # Pure steps (jit-cached; recompiled per padded-shape bucket)
+    # ------------------------------------------------------------------
+
+    def _apply(self, params, batch_stats, x, pos, mask, train, rngs, mutable):
+        variables = {"params": params, "batch_stats": batch_stats}
+        return self.net.apply(
+            variables, x, pos, mask, train=train, rngs=rngs, mutable=mutable
+        )
+
+    @property
+    def train_step(self) -> Callable:
+        """(state, x, pos, y, mask, rng) -> (state, loss, logits)."""
+        if "train_step" not in self._jitted:
+
+            def step(state: TrainState, x, pos, y, mask, rng):
+                step_rng = jax.random.fold_in(rng, state.step)
+                dec_rng, drop_rng = jax.random.split(step_rng)
+
+                def loss_fn(params):
+                    logits, updates = self._apply(
+                        params, state.batch_stats, x, pos, mask,
+                        train=True,
+                        rngs={"decimation": dec_rng, "dropout": drop_rng},
+                        mutable=["batch_stats"],
+                    )
+                    loss = self.criterion(logits, y)
+                    return loss, (logits, updates["batch_stats"])
+
+                (loss, (logits, new_stats)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params)
+                updates, new_opt_state = self.tx.update(
+                    grads, state.opt_state, state.params
+                )
+                new_params = optax.apply_updates(state.params, updates)
+                new_state = state.replace(
+                    step=state.step + 1,
+                    params=new_params,
+                    batch_stats=new_stats,
+                    opt_state=new_opt_state,
+                )
+                return new_state, loss, logits
+
+            self._jitted["train_step"] = jax.jit(step, donate_argnums=(0,))
+        return self._jitted["train_step"]
+
+    @property
+    def eval_step(self) -> Callable:
+        """(state, x, pos, y, mask, rng) -> (loss, logits) on subsampled pts."""
+        if "eval_step" not in self._jitted:
+
+            def step(state: TrainState, x, pos, y, mask, rng):
+                logits = self._apply(
+                    state.params, state.batch_stats, x, pos, mask,
+                    train=False, rngs={"decimation": rng}, mutable=False,
+                )
+                loss = self.criterion(logits, y)
+                return loss, logits
+
+            self._jitted["eval_step"] = jax.jit(step)
+        return self._jitted["eval_step"]
+
+    @property
+    def interp_step(self) -> Callable:
+        """Full-cloud regime (test/predict): forward on sampled points then
+        on-device kNN-interpolation of logits to the full cloud
+        (reference ``model.py:86-98``, k=``interpolation_k``).
+
+        (state, x, pos, mask, sampled_pos, full_pos, full_mask, rng)
+            -> (B, M, C) full-cloud logits
+        """
+        if "interp_step" not in self._jitted:
+
+            def step(state: TrainState, x, pos, mask, sampled_pos, full_pos,
+                     full_mask, rng):
+                logits = self._apply(
+                    state.params, state.batch_stats, x, pos, mask,
+                    train=False, rngs={"decimation": rng}, mutable=False,
+                )
+                return knn_interpolate(
+                    logits, sampled_pos, mask, full_pos, full_mask,
+                    k=self.interpolation_k,
+                )
+
+            self._jitted["interp_step"] = jax.jit(step)
+        return self._jitted["interp_step"]
+
+    # ------------------------------------------------------------------
+    # Checkpointing (orbax)
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, ckpt_dir: str, state: TrainState) -> str:
+        import orbax.checkpoint as ocp
+
+        from myria3d_tpu.utils.config import to_yaml
+
+        ckpt_dir = os.path.abspath(ckpt_dir)
+        os.makedirs(ckpt_dir, exist_ok=True)
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(
+                os.path.join(ckpt_dir, MODEL_CKPT_STATE_DIR),
+                jax.device_get(
+                    {
+                        "step": state.step,
+                        "params": state.params,
+                        "batch_stats": state.batch_stats,
+                    }
+                ),
+                force=True,
+            )
+        if self.raw_hparams is not None:
+            with open(os.path.join(ckpt_dir, MODEL_CKPT_HPARAMS), "w") as f:
+                f.write(to_yaml(self.raw_hparams))
+        return ckpt_dir
+
+    def restore_into_state(self, ckpt_dir: str, state: TrainState) -> TrainState:
+        """Load params/BN stats from a checkpoint into an existing state
+        (optimizer state is freshly initialized — reference finetune
+        semantics, ``train.py:159-170``)."""
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            restored = ckptr.restore(
+                os.path.join(os.path.abspath(ckpt_dir), MODEL_CKPT_STATE_DIR)
+            )
+        return state.replace(
+            step=jnp.asarray(restored.get("step", 0), jnp.int32),
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+        )
+
+    @classmethod
+    def load_from_checkpoint(cls, ckpt_dir: str, **override_hparams: Any
+                             ) -> Tuple["Model", TrainState]:
+        """Rebuild the Model from the hparams stored beside the weights and
+        restore its state (reference ``Model.load_from_checkpoint``,
+        ``predict.py:49``; hparam-overridden reload for finetune,
+        ``train.py:162-168``)."""
+        import yaml
+
+        from myria3d_tpu.utils.config import DotDict, instantiate
+
+        ckpt_dir = os.path.abspath(ckpt_dir)
+        with open(os.path.join(ckpt_dir, MODEL_CKPT_HPARAMS)) as f:
+            hparams = DotDict.wrap(yaml.safe_load(f))
+        hparams.pop("_target_", None)
+        hparams.pop("ckpt_path", None)
+        kwargs = {k: instantiate(v) for k, v in hparams.items()}
+        kwargs.update(override_hparams)
+        model = cls(**kwargs)
+        model.raw_hparams = dict(hparams)
+
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            restored = ckptr.restore(os.path.join(ckpt_dir, MODEL_CKPT_STATE_DIR))
+        state = TrainState(
+            step=jnp.asarray(restored.get("step", 0), jnp.int32),
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=model.tx.init(restored["params"]),
+        )
+        return model, state

@@ -1,0 +1,123 @@
+"""Masked neural-net building blocks (flax.linen).
+
+TPU-native equivalents of the reference's ``SharedMLP`` family
+(reference ``myria3d/models/modules/pyg_randla_net.py:97-109``): every op
+takes a validity mask because clouds are padded to static shapes, and torch
+BatchNorm statistics over concatenated valid points become masked moments
+over the padded batch (SURVEY.md §7 "hard parts").
+
+Conventions matching the reference:
+- LeakyReLU negative_slope 0.2 (``pyg_randla_net.py:92``);
+- BatchNorm momentum 0.01 (torch convention; here ``ra = 0.99*ra +
+  0.01*batch``), eps 1e-6 (``pyg_randla_net.py:94``);
+- layer order Linear -> BN -> act -> dropout, applied to the *last* layer
+  too (pyg MLP ``plain_last=False``, ``pyg_randla_net.py:102``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from myria3d_tpu.ops.masked import masked_mean, masked_var
+
+LRELU_SLOPE = 0.2
+BN_MOMENTUM = 0.01  # torch-style: ra = (1 - m) * ra + m * batch
+BN_EPS = 1e-6
+
+
+def lrelu(x: jnp.ndarray) -> jnp.ndarray:
+    return nn.leaky_relu(x, negative_slope=LRELU_SLOPE)
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d over valid points of a padded batch.
+
+    Equivalent to torch ``BatchNorm1d`` applied to the ``(sum(valid), C)``
+    concatenation of valid rows: batch statistics are masked moments over
+    every axis but the channel axis. Running stats follow torch semantics —
+    normalization uses biased batch variance, the running-var update uses
+    the unbiased estimate.
+    """
+
+    features: int
+    momentum: float = BN_MOMENTUM
+    eps: float = BN_EPS
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, valid: Optional[jnp.ndarray], train: bool
+    ) -> jnp.ndarray:
+        # x: (..., C); valid: bool (...,) or None for fully-valid input.
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(self.features, jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(self.features, jnp.float32)
+        )
+
+        xf = x.astype(jnp.float32)
+        axes = tuple(range(x.ndim - 1))
+        if train:
+            if valid is None:
+                mean = jnp.mean(xf, axis=axes)
+                var = jnp.var(xf, axis=axes)
+                n = jnp.float32(
+                    jnp.prod(jnp.asarray([x.shape[a] for a in axes]))
+                )
+            else:
+                vmask = valid[..., None]
+                mean = masked_mean(xf, vmask, axis=axes)
+                var = masked_var(xf, vmask, axis=axes, mean=mean)
+                n = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+            if not self.is_initializing():
+                unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+                ra_mean.value = (
+                    (1.0 - self.momentum) * ra_mean.value + self.momentum * mean
+                )
+                ra_var.value = (
+                    (1.0 - self.momentum) * ra_var.value + self.momentum * unbiased
+                )
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale + bias
+        return y.astype(x.dtype)
+
+
+class SharedMLP(nn.Module):
+    """Per-point MLP: [Dense -> MaskedBN -> LeakyReLU(0.2) -> Dropout] x L.
+
+    Mirrors reference ``SharedMLP`` (``pyg_randla_net.py:97-109``): the last
+    layer also gets norm + act (``plain_last=False``); ``act=False`` or
+    ``norm=False`` drop those stages for every layer (reference ``act=None``
+    / ``norm=None`` kwargs, e.g. the attention MLP ``:118`` and shortcut
+    ``:170``).
+    """
+
+    channels: Sequence[int]  # output width per layer
+    act: bool = True
+    norm: bool = True
+    use_bias: bool = True
+    dropout: Optional[Sequence[float]] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, valid: Optional[jnp.ndarray], train: bool
+    ) -> jnp.ndarray:
+        for i, width in enumerate(self.channels):
+            x = nn.Dense(width, use_bias=self.use_bias, dtype=self.dtype)(x)
+            if self.norm:
+                x = MaskedBatchNorm(width)(x, valid, train)
+            if self.act:
+                x = lrelu(x)
+            if self.dropout is not None and self.dropout[i] > 0:
+                x = nn.Dropout(self.dropout[i], deterministic=not train)(x)
+        return x

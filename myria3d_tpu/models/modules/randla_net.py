@@ -1,0 +1,197 @@
+"""RandLA-Net over fixed-shape padded point clouds (flax.linen).
+
+TPU-first re-design of the reference ``PyGRandLANet``
+(``myria3d/models/modules/pyg_randla_net.py:22-88``): the ragged
+``(B*N, C)`` + edge-list formulation becomes dense ``(B, N, C)`` tensors
+with boolean validity masks and gather-based ``(B, N, K)`` neighborhoods,
+so every op is a large static-shape matmul/elementwise XLA can tile onto
+the MXU.
+
+Channel plan matches the reference exactly (``pyg_randla_net.py:40-53``):
+  d_bottleneck = max(32, num_classes, num_features)
+  fc0: d_in -> d_bottleneck
+  blocks: (d_bottleneck->32) (32->128) (128->256) (256->512), each with
+    random /decimation between stages
+  mlp_summit: 512 -> 512
+  decoder FP (k=1 interp + skip concat): 512+256->256, 256+128->128,
+    128+32->32, 32+32->d_bottleneck
+  head: SharedMLP [d_bottleneck, 64, 32] (dropout [0, 0.5]) -> Linear
+    32 -> num_classes
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from myria3d_tpu.models.modules.nn import SharedMLP, lrelu
+from myria3d_tpu.ops.interpolate import knn_interpolate
+from myria3d_tpu.ops.knn import gather_neighbors, knn_graph
+from myria3d_tpu.ops.masked import masked_softmax
+from myria3d_tpu.ops.sampling import random_decimation
+
+
+class LocalFeatureAggregation(nn.Module):
+    """LocSE + attentive pooling over dense (B, N, K) neighborhoods.
+
+    Reference ``LocalFeatureAggregation`` (``pyg_randla_net.py:112-152``):
+    message = concat(x_j, MLP_enc(concat(pos_i, pos_j, pos_diff, |diff|)));
+    attention scores from a bias-free linear, scatter-softmax per
+    neighborhood -> here a dense masked softmax over the K axis; aggr=add;
+    then a post-attention MLP. Input feature width must equal channels//2.
+    """
+
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,            # (B, N, channels//2)
+        pos: jnp.ndarray,          # (B, N, 3)
+        idx: jnp.ndarray,          # (B, N, K) neighbor indices
+        neigh_valid: jnp.ndarray,  # (B, N, K) bool
+        mask: jnp.ndarray,         # (B, N) bool — valid centers
+        train: bool,
+    ) -> jnp.ndarray:
+        k = idx.shape[-1]
+        pos_j = gather_neighbors(pos, idx)                    # (B, N, K, 3)
+        pos_i = jnp.broadcast_to(pos[:, :, None, :], pos_j.shape)
+        pos_diff = pos_j - pos_i
+        distance = jnp.sqrt(
+            jnp.maximum(jnp.sum(pos_diff * pos_diff, axis=-1, keepdims=True), 0.0)
+        )
+        relative_infos = jnp.concatenate(
+            [pos_i, pos_j, pos_diff, distance], axis=-1
+        ).astype(self.dtype)                                   # (B, N, K, 10)
+        local_spatial_encoding = SharedMLP(
+            [self.channels // 2], dtype=self.dtype, name="mlp_encoder"
+        )(relative_infos, neigh_valid, train)
+        x_j = gather_neighbors(x, idx)                         # (B, N, K, C/2)
+        local_features = jnp.concatenate(
+            [x_j, local_spatial_encoding], axis=-1
+        )                                                      # (B, N, K, C)
+
+        att_features = SharedMLP(
+            [self.channels], act=False, norm=False, use_bias=False,
+            dtype=self.dtype, name="mlp_attention",
+        )(local_features, None, train)
+        att_scores = masked_softmax(
+            att_features, neigh_valid[..., None], axis=2
+        ).astype(local_features.dtype)
+
+        out = jnp.sum(att_scores * local_features, axis=2)     # (B, N, C)
+        out = SharedMLP(
+            [self.channels], dtype=self.dtype, name="mlp_post_attention"
+        )(out, mask, train)
+        return out
+
+
+class DilatedResidualBlock(nn.Module):
+    """Reference ``DilatedResidualBlock`` (``pyg_randla_net.py:155-189``)."""
+
+    num_neighbors: int
+    d_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, pos: jnp.ndarray, mask: jnp.ndarray, train: bool
+    ) -> jnp.ndarray:
+        idx, _, neigh_valid = knn_graph(pos, mask, self.num_neighbors)
+        shortcut_of_x = SharedMLP(
+            [self.d_out], act=False, dtype=self.dtype, name="shortcut"
+        )(x, mask, train)
+        x = SharedMLP([self.d_out // 8], dtype=self.dtype, name="mlp1")(
+            x, mask, train
+        )
+        x = LocalFeatureAggregation(
+            self.d_out // 4, dtype=self.dtype, name="lfa1"
+        )(x, pos, idx, neigh_valid, mask, train)
+        x = LocalFeatureAggregation(
+            self.d_out // 2, dtype=self.dtype, name="lfa2"
+        )(x, pos, idx, neigh_valid, mask, train)
+        x = SharedMLP([self.d_out], act=False, dtype=self.dtype, name="mlp2")(
+            x, mask, train
+        )
+        return lrelu(x + shortcut_of_x)
+
+
+class RandLANet(nn.Module):
+    """Encoder-decoder semantic-segmentation net for padded LiDAR clouds.
+
+    ``__call__(x, pos, mask, train)`` -> per-point logits ``(B, N, C)``.
+    Random decimation draws from the 'decimation' RNG stream (the reference
+    decimates randomly at eval time too, ``pyg_randla_net.py:221``).
+    """
+
+    num_features: int
+    num_classes: int
+    decimation: int = 4
+    num_neighbors: int = 16
+    return_logits: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Optional[jnp.ndarray],   # (B, N, F) or None -> use pos
+        pos: jnp.ndarray,           # (B, N, 3)
+        mask: jnp.ndarray,          # (B, N) bool
+        train: bool = False,
+    ) -> jnp.ndarray:
+        d_bottleneck = max(32, self.num_classes, self.num_features)
+        x = x if x is not None else pos
+        x = x.astype(self.dtype)
+
+        x = nn.Dense(d_bottleneck, dtype=self.dtype, name="fc0")(x)
+
+        # Encoder: block -> decimate, 4 stages. Stage i state lives at
+        # resolution N / decimation**i.
+        widths = (32, 128, 256, 512)
+        skips = []  # (x, pos, mask) at each pre-decimation resolution
+        for i, d_out in enumerate(widths):
+            x = DilatedResidualBlock(
+                self.num_neighbors, d_out, dtype=self.dtype,
+                name=f"block{i + 1}",
+            )(x, pos, mask, train)
+            skips.append((x, pos, mask))
+            dec_idx, dec_mask = random_decimation(
+                self.make_rng("decimation"), mask, self.decimation
+            )
+            x = jax.vmap(lambda t, j: t[j])(x, dec_idx)
+            pos = jax.vmap(lambda t, j: t[j])(pos, dec_idx)
+            mask = dec_mask
+
+        x = SharedMLP([512], dtype=self.dtype, name="mlp_summit")(
+            x, mask, train
+        )
+
+        # Decoder: FP modules — k=1 kNN-interpolate up to the skip
+        # resolution, concat skip features, SharedMLP
+        # (``pyg_randla_net.py:241-253``).
+        fp_widths = (256, 128, 32, d_bottleneck)
+        for j, width in enumerate(fp_widths):
+            x_skip, pos_skip, mask_skip = skips[len(skips) - 1 - j]
+            x = knn_interpolate(
+                x, pos, mask, pos_skip, mask_skip, k=1
+            ).astype(self.dtype)
+            x = jnp.concatenate([x, x_skip], axis=-1)
+            x = SharedMLP([width], dtype=self.dtype, name=f"fp{4 - j}")(
+                x, mask_skip, train
+            )
+            pos, mask = pos_skip, mask_skip
+
+        x = SharedMLP(
+            [64, 32], dropout=[0.0, 0.5], dtype=self.dtype, name="mlp_classif"
+        )(x, mask, train)
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc_classif")(
+            x.astype(jnp.float32)
+        )
+
+        if self.return_logits:
+            return logits
+        return jax.nn.log_softmax(logits, axis=-1)

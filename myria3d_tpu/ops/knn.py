@@ -96,20 +96,27 @@ def knn(
     """
     b, nq, _ = query_pos.shape
     nk = key_pos.shape[1]
-    if k > nk:
-        raise ValueError(f"k={k} > number of key slots {nk}")
+    # Fewer key slots than K (deeply decimated stages): compute the kNN that
+    # exists and pad the neighbor axis with invalid slots, mirroring
+    # torch_cluster.knn returning < k edges for tiny clouds.
+    k_eff = min(k, nk)
     chunk = _pick_chunk(b, nq, nk)
 
     if b * max(chunk, 128) * nk > _ELEM_BUDGET and b > 1:
         # Memory still too large with minimal chunk: sequence over batch.
         idx, d2 = jax.lax.map(
-            lambda args: _knn_chunked(args[0], args[1], args[2], k, chunk),
+            lambda args: _knn_chunked(args[0], args[1], args[2], k_eff, chunk),
             (query_pos, key_pos, key_mask),
         )
     else:
         idx, d2 = jax.vmap(
-            lambda qp, kp, kv: _knn_chunked(qp, kp, kv, k, chunk)
+            lambda qp, kp, kv: _knn_chunked(qp, kp, kv, k_eff, chunk)
         )(query_pos, key_pos, key_mask)
+
+    if k_eff < k:
+        pad = ((0, 0), (0, 0), (0, k - k_eff))
+        idx = jnp.pad(idx, pad)
+        d2 = jnp.pad(d2, pad, constant_values=_BIG)
 
     neigh_valid = d2 < _BIG * 0.5
     if query_mask is not None:

@@ -9,13 +9,34 @@ import os
 import subprocess
 import sys
 
-import numpy as np
-import pytest
+# Tests run on a virtual 8-device CPU mesh by default (fast compiles, no
+# dependency on the tunneled TPU; multi-chip sharding exercised without
+# TPUs). Set MYRIA3D_TEST_TPU=1 to run on the real chip instead.
+if not os.environ.get("MYRIA3D_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        )
 
-# NOTE on platforms: in this environment a sitecustomize initializes the TPU
-# (axon) backend before conftest runs, so single-device tests execute on the
-# real chip. Multi-device mesh tests use ``run_in_cpu_mesh_subprocess`` below
-# to get a virtual 8-device CPU mesh in a scrubbed environment.
+# Persistent XLA compilation cache: full-network compiles are ~30-40s, so
+# cache them across test runs (and across CPU-mesh subprocesses below).
+_COMP_CACHE = os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache"
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+import jax  # noqa: E402  (after cache/platform env vars)
+
+jax.config.update("jax_compilation_cache_dir", _COMP_CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+if not os.environ.get("MYRIA3D_TEST_TPU"):
+    # sitecustomize imports jax (axon TPU) before conftest runs, so the env
+    # var alone is too late — override the already-captured config value.
+    jax.config.update("jax_platforms", "cpu")
 
 CPU_MESH_ENV = {
     "JAX_PLATFORMS": "cpu",
