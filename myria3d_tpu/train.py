@@ -1,0 +1,383 @@
+"""Training pipeline — reference ``myria3d/train.py:33-173`` without Lightning.
+
+``train(config)`` instantiates datamodule/model/callbacks/logger from the
+composed config, then runs an explicit JAX training loop: jitted train/eval
+steps over fixed-shape padded batches, host-side control plane (LR schedule,
+checkpointing, early stopping, metrics-from-confusion-matrix). Supports
+``task.task_name`` in {fit, test, finetune} (reference ``run.py:30-36``;
+fit runs test-after-fit with the best checkpoint like reference
+``train.py:148-157``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, Iterable, List, Optional
+
+import jax
+import numpy as np
+
+from myria3d_tpu.callbacks.metric_callbacks import ModelMetrics
+from myria3d_tpu.models.model import Model, TrainState
+from myria3d_tpu.models.optimizers import set_learning_rate_scale
+from myria3d_tpu.pctl.batching import PointCloudBatch, pad_full_cloud, pad_sampled_pos
+from myria3d_tpu.utils import utils
+from myria3d_tpu.utils.config import instantiate
+
+log = utils.get_logger(__name__)
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    """Trainer knobs — reference ``configs/trainer/default.yaml``."""
+
+    min_epochs: int = 1
+    max_epochs: int = 1
+    log_every_n_steps: int = 1
+    accelerator: str = "auto"
+    devices: Any = "auto"
+    num_nodes: int = 1
+    limit_train_batches: Optional[int] = None
+    limit_val_batches: Optional[int] = None
+    limit_test_batches: Optional[int] = None
+    num_sanity_val_steps: int = 0
+    accumulate_grad_batches: int = 1
+    overfit_batches: int = 0
+
+    def __init__(self, **kwargs: Any):
+        for f in dataclasses.fields(self):
+            setattr(self, f.name, kwargs.pop(f.name, f.default))
+        self.extra = kwargs
+
+
+def _limited(loader: Iterable, limit: Optional[int]) -> Iterable:
+    if not limit:
+        yield from loader
+        return
+    for i, item in enumerate(loader):
+        if i >= limit:
+            break
+        yield item
+
+
+class Trainer:
+    """Explicit training loop owning callbacks/logger/scheduler state."""
+
+    def __init__(
+        self,
+        trainer_config: TrainerConfig,
+        callbacks: Optional[Dict[str, Any]] = None,
+        logger: Optional[Any] = None,
+        seed: int = 12345,
+    ):
+        self.cfg = trainer_config
+        self.callbacks = callbacks or {}
+        self.logger = logger
+        self.seed = seed
+        self.metrics: Optional[ModelMetrics] = self.callbacks.get(
+            "model_detailed_metrics"
+        )
+        self.checkpoint_cb = self.callbacks.get("model_checkpoint")
+        self.early_stopping = self.callbacks.get("early_stopping")
+        self.lr_monitor = self.callbacks.get("lr_monitor")
+        self.finetune_cb = self.callbacks.get("finetune")
+        self.global_step = 0
+        self.state: Optional[TrainState] = None
+
+    # ------------------------------------------------------------------
+
+    def _log(self, metrics: Dict[str, float]) -> None:
+        if self.logger is not None:
+            self.logger.log_metrics(metrics, step=self.global_step)
+
+    def _scheduler_for(self, model: Model):
+        if model.lr_scheduler_factory is None:
+            return None
+        return model.lr_scheduler_factory()
+
+    def _apply_lr(self, model: Model, scale: float) -> None:
+        assert self.state is not None
+        set_learning_rate_scale(self.state.opt_state, model.lr, scale)
+
+    # ------------------------------------------------------------------
+
+    def fit(self, model: Model, datamodule, ckpt_path: Optional[str] = None,
+            finetune: bool = False) -> TrainState:
+        datamodule.prepare_data()
+        datamodule.setup("fit")
+        rng = jax.random.PRNGKey(self.seed)
+
+        train_loader = datamodule.train_dataloader(seed=self.seed)
+        first = _first_batch(train_loader)
+        if first is None:
+            raise RuntimeError("Empty train dataloader — nothing to fit on.")
+        self.state = model.init_state(rng, first.device_arrays())
+        if ckpt_path:
+            log.info(f"Restoring weights from checkpoint: {ckpt_path}")
+            self.state = model.restore_into_state(ckpt_path, self.state)
+        log.info(f"Model has {model.num_params(self.state):,} parameters")
+
+        scheduler = self._scheduler_for(model)
+        per_step_sched = bool(getattr(scheduler, "per_step", False))
+        step_rng = jax.random.fold_in(rng, 1)
+
+        # sanity val steps (reference trainer.num_sanity_val_steps)
+        if self.cfg.num_sanity_val_steps:
+            self._val_epoch(model, datamodule, step_rng,
+                            limit=self.cfg.num_sanity_val_steps, log_prefix=None)
+
+        overfit_batches: Optional[List[PointCloudBatch]] = None
+        if self.cfg.overfit_batches:
+            overfit_batches = [
+                b for b in _limited(train_loader, self.cfg.overfit_batches)
+                if b is not None
+            ]
+
+        stop = False
+        epoch = 0
+        for epoch in range(self.cfg.max_epochs):
+            lr_mult = None
+            if finetune and self.finetune_cb is not None:
+                lr_mult = self.finetune_cb.lr_mult_for_epoch(
+                    self.state.params, epoch
+                )
+
+            # ---- train epoch
+            train_losses: List[float] = []
+            iterator: Iterable = (
+                overfit_batches
+                if overfit_batches is not None
+                else _limited(
+                    datamodule.train_dataloader(seed=self.seed + epoch),
+                    self.cfg.limit_train_batches,
+                )
+            )
+            for batch in iterator:
+                if batch is None:
+                    continue
+                arrays = batch.device_arrays()
+                if lr_mult is None:
+                    self.state, loss, logits = model.train_step(
+                        self.state, arrays["x"], arrays["pos"], arrays["y"],
+                        arrays["mask"], step_rng,
+                    )
+                else:
+                    self.state, loss, logits = model.train_step(
+                        self.state, arrays["x"], arrays["pos"], arrays["y"],
+                        arrays["mask"], step_rng, lr_mult,
+                    )
+                self.global_step += 1
+                train_losses.append(float(loss))
+                if self.metrics is not None:
+                    self.metrics.update("train", logits, arrays["y"], arrays["mask"])
+                if self.global_step % max(1, self.cfg.log_every_n_steps) == 0:
+                    row = {"train/loss_step": float(loss)}
+                    if self.lr_monitor is not None and scheduler is not None:
+                        row.update(self.lr_monitor.metrics(
+                            model.lr * getattr(scheduler, "scale", 1.0)))
+                    self._log(row)
+                if per_step_sched:
+                    self._apply_lr(model, scheduler.step())
+
+            epoch_metrics: Dict[str, float] = {
+                "epoch": float(epoch),
+                "train/loss_epoch": float(np.mean(train_losses)) if train_losses else float("nan"),
+            }
+            if self.metrics is not None:
+                epoch_metrics.update(self.metrics.compute_and_reset("train"))
+
+            # ---- val epoch
+            val_metrics = self._val_epoch(
+                model, datamodule, step_rng, limit=self.cfg.limit_val_batches,
+                overfit_batches=overfit_batches,
+            )
+            epoch_metrics.update(val_metrics)
+            self._log(epoch_metrics)
+
+            # ---- control plane: scheduler / ckpt / early stop
+            monitor_value = epoch_metrics.get(model.monitor)
+            if scheduler is not None and not per_step_sched and monitor_value is not None:
+                self._apply_lr(model, scheduler.step(monitor_value))
+            if self.checkpoint_cb is not None:
+                self.checkpoint_cb.on_validation_end(
+                    model, self.state, epoch_metrics, epoch
+                )
+            if self.early_stopping is not None:
+                stop = self.early_stopping.on_validation_end(epoch_metrics)
+            log.info(
+                f"epoch {epoch}: "
+                + " ".join(
+                    f"{k}={v:.4f}" for k, v in epoch_metrics.items()
+                    if isinstance(v, float) and "/" in k and k.count("/") == 1
+                )
+            )
+            if stop and epoch + 1 >= self.cfg.min_epochs:
+                log.info(f"Early stopping at epoch {epoch}")
+                break
+
+        return self.state
+
+    def _val_epoch(self, model: Model, datamodule, rng, limit=None,
+                   log_prefix: Optional[str] = "val", overfit_batches=None
+                   ) -> Dict[str, float]:
+        losses: List[float] = []
+        iterator: Iterable = (
+            overfit_batches
+            if overfit_batches is not None
+            else _limited(datamodule.val_dataloader(), limit)
+        )
+        for batch in iterator:
+            if batch is None:
+                continue
+            arrays = batch.device_arrays()
+            loss, logits = model.eval_step(
+                self.state, arrays["x"], arrays["pos"], arrays["y"],
+                arrays["mask"], rng,
+            )
+            losses.append(float(loss))
+            if self.metrics is not None and log_prefix:
+                self.metrics.update(log_prefix, logits, arrays["y"], arrays["mask"])
+        if log_prefix is None:
+            return {}
+        out = {
+            f"{log_prefix}/loss_epoch": float(np.mean(losses)) if losses else float("nan")
+        }
+        if self.metrics is not None:
+            out.update(self.metrics.compute_and_reset(log_prefix))
+        return out
+
+    # ------------------------------------------------------------------
+
+    def test(self, model: Model, datamodule, state: Optional[TrainState] = None,
+             ckpt_path: Optional[str] = None) -> Dict[str, float]:
+        """Full-cloud evaluation: logits kNN-interpolated back to every point
+        of each subtile before the confusion matrix (reference ``task=test``
+        regime, ``models/model.py:86-103``, SURVEY.md §3.5)."""
+        datamodule.prepare_data()
+        datamodule.setup("test")
+        if ckpt_path:
+            model, state = Model.load_from_checkpoint(ckpt_path)
+        if state is None:
+            state = self.state
+        assert state is not None, "test() needs a state or ckpt_path"
+        rng = jax.random.PRNGKey(self.seed + 777)
+
+        losses: List[float] = []
+        for batch in _limited(datamodule.test_dataloader(), self.cfg.limit_test_batches):
+            if batch is None:
+                continue
+            arrays = batch.device_arrays()
+            full = pad_full_cloud(batch.copies)
+            sampled_pos = pad_sampled_pos(batch.copies, batch.num_points)
+            if full is None or sampled_pos is None or "full_y" not in full:
+                # no copies stashed: fall back to subsampled-regime eval
+                loss, logits = model.eval_step(
+                    state, arrays["x"], arrays["pos"], arrays["y"],
+                    arrays["mask"], rng,
+                )
+                losses.append(float(loss))
+                if self.metrics is not None:
+                    self.metrics.update("test", logits, arrays["y"], arrays["mask"])
+                continue
+            full_logits = model.interp_step(
+                state, arrays["x"], arrays["pos"], arrays["mask"],
+                sampled_pos, full["full_pos"], full["full_mask"], rng,
+            )
+            loss = model.criterion(full_logits, full["full_y"])
+            losses.append(float(loss))
+            if self.metrics is not None:
+                self.metrics.update(
+                    "test", full_logits, full["full_y"], full["full_mask"]
+                )
+        out = {"test/loss_epoch": float(np.mean(losses)) if losses else float("nan")}
+        if self.metrics is not None:
+            out.update(self.metrics.compute_and_reset("test"))
+        self._log(out)
+        log.info(
+            "test: " + " ".join(
+                f"{k}={v:.4f}" for k, v in out.items() if k.count("/") == 1
+            )
+        )
+        return out
+
+
+def _first_batch(loader) -> Optional[PointCloudBatch]:
+    for batch in loader:
+        if batch is not None:
+            return batch
+    return None
+
+
+def train(config) -> Trainer:
+    """Instantiate everything from config and run the task
+    (reference ``train(config) -> Trainer``, ``train.py:33-173``)."""
+    task_name = config.get("task", {}).get("task_name", "fit")
+    seed = int(config.get("seed", 12345))
+    np.random.seed(seed)
+
+    log.info("Instantiating datamodule <HDF5LidarDataModule>")
+    datamodule = instantiate(config["datamodule"])
+
+    log.info("Instantiating model <Model>")
+    model_cfg = dict(config["model"])
+    accumulate = int(config.get("trainer", {}).get("accumulate_grad_batches", 1) or 1)
+    model: Model = instantiate(
+        {**model_cfg, "accumulate_grad_batches": accumulate}
+    )
+    from myria3d_tpu.utils.config import _to_plain  # noqa: SLF001
+
+    model.raw_hparams = _to_plain({k: v for k, v in model_cfg.items()})
+
+    callbacks: Dict[str, Any] = {}
+    for name, cb_conf in (config.get("callbacks") or {}).items():
+        if isinstance(cb_conf, dict) and "_target_" in cb_conf:
+            log.info(f"Instantiating callback <{cb_conf['_target_']}>")
+            callbacks[name] = instantiate(cb_conf)
+
+    logger = None
+    for lg_conf in (config.get("logger") or {}).values():
+        if isinstance(lg_conf, dict) and "_target_" in lg_conf:
+            log.info(f"Instantiating logger <{lg_conf['_target_']}>")
+            logger = instantiate(lg_conf)
+            break
+
+    trainer_cfg_node = dict(config.get("trainer") or {})
+    trainer_cfg_node.pop("_target_", None)
+    trainer = Trainer(
+        TrainerConfig(**trainer_cfg_node),
+        callbacks=callbacks,
+        logger=logger,
+        seed=seed,
+    )
+
+    if logger is not None:
+        utils.log_hyperparameters(logger, config, model, None)
+
+    ckpt_path = config.get("model", {}).get("ckpt_path")
+
+    if task_name in ("fit", "fit+test"):
+        log.info("Starting training!")
+        trainer.fit(model, datamodule, ckpt_path=ckpt_path)
+        best = getattr(trainer.checkpoint_cb, "best_model_path", None)
+        log.info(f"Best checkpoint: {best}")
+        if best:
+            log.info("Starting testing with best checkpoint!")
+            trainer.test(model, datamodule, state=None, ckpt_path=best)
+        else:
+            trainer.test(model, datamodule, state=trainer.state)
+    elif task_name == "test":
+        log.info("Starting testing!")
+        if ckpt_path and os.path.isdir(ckpt_path):
+            trainer.test(model, datamodule, ckpt_path=ckpt_path)
+        else:
+            raise ValueError(
+                "task=test requires model.ckpt_path pointing to a checkpoint dir"
+            )
+    elif task_name == "finetune":
+        log.info("Starting finetuning!")
+        trainer.fit(model, datamodule, ckpt_path=ckpt_path, finetune=True)
+    else:
+        raise ValueError(f"Unknown task for train(): {task_name}")
+
+    return trainer
