@@ -133,17 +133,12 @@ class Model:
             variables, x, pos, mask, train=train, rngs=rngs, mutable=mutable
         )
 
-    @property
-    def train_step(self) -> Callable:
-        """(state, x, pos, y, mask, rng[, lr_mult]) -> (state, loss, logits).
+    def build_train_step(self) -> Callable:
+        """Pure (state, x, pos, y, mask, rng[, lr_mult]) -> (state, loss,
+        logits) — un-jitted, for wrapping with jit or mesh-sharded jit
+        (``myria3d_tpu.parallel``)."""
 
-        ``lr_mult`` is an optional params-shaped pytree of per-leaf update
-        multipliers (0 freezes a subtree; <1 damps it) used by the
-        finetuning callback (reference ``FinetuningFreezeUnfreeze``).
-        """
-        if "train_step" not in self._jitted:
-
-            def step(state: TrainState, x, pos, y, mask, rng, lr_mult=None):
+        def step(state: TrainState, x, pos, y, mask, rng, lr_mult=None):
                 step_rng = jax.random.fold_in(rng, state.step)
                 dec_rng, drop_rng = jax.random.split(step_rng)
 
@@ -176,23 +171,52 @@ class Model:
                 )
                 return new_state, loss, logits
 
-            self._jitted["train_step"] = jax.jit(step, donate_argnums=(0,))
+        return step
+
+    def build_eval_step(self) -> Callable:
+        def step(state: TrainState, x, pos, y, mask, rng):
+            logits = self._apply(
+                state.params, state.batch_stats, x, pos, mask,
+                train=False, rngs={"decimation": rng}, mutable=False,
+            )
+            loss = self.criterion(logits, y)
+            return loss, logits
+
+        return step
+
+    def build_interp_step(self) -> Callable:
+        def step(state: TrainState, x, pos, mask, sampled_pos, full_pos,
+                 full_mask, rng):
+            logits = self._apply(
+                state.params, state.batch_stats, x, pos, mask,
+                train=False, rngs={"decimation": rng}, mutable=False,
+            )
+            return knn_interpolate(
+                logits, sampled_pos, mask, full_pos, full_mask,
+                k=self.interpolation_k,
+            )
+
+        return step
+
+    @property
+    def train_step(self) -> Callable:
+        """(state, x, pos, y, mask, rng[, lr_mult]) -> (state, loss, logits).
+
+        ``lr_mult`` is an optional params-shaped pytree of per-leaf update
+        multipliers (0 freezes a subtree; <1 damps it) used by the
+        finetuning callback (reference ``FinetuningFreezeUnfreeze``).
+        """
+        if "train_step" not in self._jitted:
+            self._jitted["train_step"] = jax.jit(
+                self.build_train_step(), donate_argnums=(0,)
+            )
         return self._jitted["train_step"]
 
     @property
     def eval_step(self) -> Callable:
         """(state, x, pos, y, mask, rng) -> (loss, logits) on subsampled pts."""
         if "eval_step" not in self._jitted:
-
-            def step(state: TrainState, x, pos, y, mask, rng):
-                logits = self._apply(
-                    state.params, state.batch_stats, x, pos, mask,
-                    train=False, rngs={"decimation": rng}, mutable=False,
-                )
-                loss = self.criterion(logits, y)
-                return loss, logits
-
-            self._jitted["eval_step"] = jax.jit(step)
+            self._jitted["eval_step"] = jax.jit(self.build_eval_step())
         return self._jitted["eval_step"]
 
     @property
@@ -205,19 +229,7 @@ class Model:
             -> (B, M, C) full-cloud logits
         """
         if "interp_step" not in self._jitted:
-
-            def step(state: TrainState, x, pos, mask, sampled_pos, full_pos,
-                     full_mask, rng):
-                logits = self._apply(
-                    state.params, state.batch_stats, x, pos, mask,
-                    train=False, rngs={"decimation": rng}, mutable=False,
-                )
-                return knn_interpolate(
-                    logits, sampled_pos, mask, full_pos, full_mask,
-                    k=self.interpolation_k,
-                )
-
-            self._jitted["interp_step"] = jax.jit(step)
+            self._jitted["interp_step"] = jax.jit(self.build_interp_step())
         return self._jitted["interp_step"]
 
     # ------------------------------------------------------------------

@@ -1,0 +1,92 @@
+"""Data-parallel mesh utilities.
+
+Design (SURVEY.md §5.8 "TPU-native equivalent"): one mesh axis ``data``;
+batch tensors sharded ``P('data')`` on their leading axis, model/optimizer
+state replicated ``P()``. The jitted step is the *same pure function* as the
+single-chip path (``Model.build_*_step``) — GSPMD partitions it, inserting
+the gradient ``psum`` where the loss mean crosses the batch axis. BatchNorm
+batch statistics are likewise computed over the global batch (sync-BN — a
+strict upgrade over the reference's local-batch BN under DDP).
+
+Multi-host: each process feeds its local shard via
+``jax.make_array_from_process_local_data``; process 0 handles logging and
+checkpoint writes (reference rank-zero guards, ``utils/utils.py:19-30``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D data-parallel mesh over the first ``n_devices`` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[: int(n_devices)]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def replicate_to_mesh(tree: Any, mesh: Mesh) -> Any:
+    """Place every leaf replicated on the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(arrays: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, Any]:
+    """Place batch arrays sharded on the leading (batch) axis.
+
+    Requires the batch dim to divide the mesh size — the padded loader
+    always emits exactly ``batch_size`` rows, so choose batch_size as a
+    multiple of the device count.
+    """
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    return {k: jax.device_put(v, sharding) for k, v in arrays.items()}
+
+
+def _shardings(mesh: Mesh):
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    return repl, data
+
+
+def sharded_train_step(model, mesh: Mesh) -> Callable:
+    """jit of the model's pure train step with data-parallel shardings.
+
+    (state, x, pos, y, mask, rng) -> (state, loss, logits); state replicated,
+    batch tensors sharded on ``data``; logits returned sharded.
+    """
+    repl, data = _shardings(mesh)
+    step = model.build_train_step()
+    return jax.jit(
+        lambda state, x, pos, y, mask, rng: step(state, x, pos, y, mask, rng),
+        in_shardings=(repl, data, data, data, data, repl),
+        out_shardings=(repl, repl, data),
+        donate_argnums=(0,),
+    )
+
+
+def sharded_eval_step(model, mesh: Mesh) -> Callable:
+    repl, data = _shardings(mesh)
+    step = model.build_eval_step()
+    return jax.jit(
+        step,
+        in_shardings=(repl, data, data, data, data, repl),
+        out_shardings=(repl, data),
+    )
+
+
+def sharded_interp_step(model, mesh: Mesh) -> Callable:
+    repl, data = _shardings(mesh)
+    step = model.build_interp_step()
+    return jax.jit(
+        step,
+        in_shardings=(repl, data, data, data, data, data, data, repl),
+        out_shardings=data,
+    )
