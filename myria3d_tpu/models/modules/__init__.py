@@ -4,9 +4,10 @@
 the reference's extension point for architecture swaps.
 """
 
+from myria3d_tpu.models.modules.pointnet2 import PointNet2  # noqa: F401
 from myria3d_tpu.models.modules.randla_net import RandLANet  # noqa: F401
 
-MODEL_ZOO = [RandLANet]
+MODEL_ZOO = [RandLANet, PointNet2]
 
 
 def get_neural_net_class(class_name: str):

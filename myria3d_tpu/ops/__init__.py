@@ -7,9 +7,10 @@ static shapes (per-cloud randperm subsampling), and masked softmax/segment
 helpers (torch_scatter / scatter softmax).
 """
 
-from myria3d_tpu.ops.knn import knn, knn_graph  # noqa: F401
+from myria3d_tpu.ops.knn import ball_query, knn, knn_graph  # noqa: F401
 from myria3d_tpu.ops.interpolate import knn_interpolate  # noqa: F401
 from myria3d_tpu.ops.sampling import random_decimation  # noqa: F401
+from myria3d_tpu.ops.fps import farthest_point_sampling  # noqa: F401
 from myria3d_tpu.ops.masked import (  # noqa: F401
     masked_mean,
     masked_softmax,

@@ -152,6 +152,25 @@ def knn_graph(
     return knn(pos, pos, mask, k, query_mask=mask, exact=exact)
 
 
+def ball_query(
+    query_pos: jnp.ndarray,    # (B, M, 3) centroids
+    key_pos: jnp.ndarray,      # (B, N, 3)
+    key_mask: jnp.ndarray,     # (B, N) bool
+    k: int,
+    radius: float,
+    query_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Up to K nearest valid neighbors within ``radius`` of each centroid
+    (PointNet++ grouping). Unlike the CUDA convention of "first K found in
+    scan order", this returns the K *nearest* within the ball — a strictly
+    better-defined neighborhood with identical cost on TPU (kNN + radius
+    filter on the (B, M, K) result)."""
+    idx, d2, neigh_valid = knn(query_pos, key_pos, key_mask, k, query_mask)
+    neigh_valid = neigh_valid & (d2 <= radius * radius)
+    idx = jnp.where(neigh_valid, idx, 0)
+    return idx, d2, neigh_valid
+
+
 def gather_neighbors(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Gather per-neighbor features: x (B, N, C), idx (B, Nq, K) → (B, Nq, K, C)."""
     return jax.vmap(lambda xb, ib: xb[ib])(x, idx)

@@ -117,6 +117,9 @@ class Trainer:
             log.info(f"Restoring weights from checkpoint: {ckpt_path}")
             self.state = model.restore_into_state(ckpt_path, self.state)
         log.info(f"Model has {model.num_params(self.state):,} parameters")
+        # sync the injected lr with model.lr (it may have been retuned by
+        # the LR range test after the optimizer was built)
+        self._apply_lr(model, 1.0)
 
         scheduler = self._scheduler_for(model)
         per_step_sched = bool(getattr(scheduler, "per_step", False))
@@ -309,6 +312,60 @@ def _first_batch(loader) -> Optional[PointCloudBatch]:
     return None
 
 
+def lr_range_test(
+    model: Model,
+    datamodule,
+    seed: int = 12345,
+    min_lr: float = 1e-4,
+    max_lr: float = 3.0,
+    num_steps: int = 100,
+    beta: float = 0.98,
+) -> float:
+    """LR range test — reference ``auto_lr_find`` via Lightning tuner
+    (``train.py:114-142``; the shipped lr 0.00393 came from a 200-step range
+    test between 1e-4 and 3.0, ``configs/model/randla_net_model.yaml``).
+
+    Sweeps lr geometrically while training on repeated batches, tracks an
+    EMA-smoothed loss, and suggests the lr at the steepest descent point.
+    """
+    import math
+
+    datamodule.prepare_data()
+    datamodule.setup("fit")
+    rng = jax.random.PRNGKey(seed)
+    loader = datamodule.train_dataloader(seed=seed)
+    batches = [b for b in _limited(loader, 8) if b is not None]
+    if not batches:
+        raise RuntimeError("No batches for the LR range test")
+    state = model.init_state(rng, batches[0].device_arrays())
+
+    gamma = (max_lr / min_lr) ** (1.0 / max(1, num_steps - 1))
+    lrs, losses = [], []
+    avg = 0.0
+    for i in range(num_steps):
+        lr_i = min_lr * gamma**i
+        set_learning_rate_scale(state.opt_state, lr_i, 1.0)
+        arrays = batches[i % len(batches)].device_arrays()
+        state, loss, _ = model.train_step(
+            state, arrays["x"], arrays["pos"], arrays["y"], arrays["mask"], rng
+        )
+        loss = float(loss)
+        if not math.isfinite(loss):
+            break
+        avg = beta * avg + (1 - beta) * loss
+        smoothed = avg / (1 - beta ** (i + 1))
+        lrs.append(lr_i)
+        losses.append(smoothed)
+        if i > 10 and smoothed > 4 * min(losses):
+            break  # diverged
+    if len(losses) < 3:
+        return model.lr
+    grads = np.gradient(np.asarray(losses), np.log(np.asarray(lrs)))
+    suggestion = float(lrs[int(np.argmin(grads))])
+    log.info(f"LR range test suggests lr={suggestion:.6g}")
+    return suggestion
+
+
 def train(config) -> Trainer:
     """Instantiate everything from config and run the task
     (reference ``train(config) -> Trainer``, ``train.py:33-173``)."""
@@ -357,6 +414,10 @@ def train(config) -> Trainer:
     ckpt_path = config.get("model", {}).get("ckpt_path")
 
     if task_name in ("fit", "fit+test"):
+        if config.get("task", {}).get("auto_lr_find"):
+            # the scheduler scale path rewrites the injected lr each epoch,
+            # so updating model.lr is enough — fit() starts from it
+            model.lr = lr_range_test(model, datamodule, seed=seed)
         log.info("Starting training!")
         trainer.fit(model, datamodule, ckpt_path=ckpt_path)
         best = getattr(trainer.checkpoint_cb, "best_model_path", None)
