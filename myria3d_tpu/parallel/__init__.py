@@ -8,6 +8,8 @@ XLA partitioner (rides ICI, not host networking).
 """
 
 from myria3d_tpu.parallel.mesh import (  # noqa: F401
+    ParallelSteps,
+    auto_parallel,
     make_mesh,
     replicate_to_mesh,
     shard_batch,

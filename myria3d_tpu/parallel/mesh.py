@@ -56,14 +56,23 @@ def _shardings(mesh: Mesh):
     return repl, data
 
 
-def sharded_train_step(model, mesh: Mesh) -> Callable:
+def sharded_train_step(model, mesh: Mesh, with_lr_mult: bool = False) -> Callable:
     """jit of the model's pure train step with data-parallel shardings.
 
-    (state, x, pos, y, mask, rng) -> (state, loss, logits); state replicated,
-    batch tensors sharded on ``data``; logits returned sharded.
+    (state, x, pos, y, mask, rng[, lr_mult]) -> (state, loss, logits); state
+    replicated, batch tensors sharded on ``data``; logits returned sharded.
     """
     repl, data = _shardings(mesh)
     step = model.build_train_step()
+    if with_lr_mult:
+        return jax.jit(
+            lambda state, x, pos, y, mask, rng, lr_mult: step(
+                state, x, pos, y, mask, rng, lr_mult
+            ),
+            in_shardings=(repl, data, data, data, data, repl, repl),
+            out_shardings=(repl, repl, data),
+            donate_argnums=(0,),
+        )
     return jax.jit(
         lambda state, x, pos, y, mask, rng: step(state, x, pos, y, mask, rng),
         in_shardings=(repl, data, data, data, data, repl),
@@ -90,3 +99,37 @@ def sharded_interp_step(model, mesh: Mesh) -> Callable:
         in_shardings=(repl, data, data, data, data, data, data, repl),
         out_shardings=data,
     )
+
+
+class ParallelSteps:
+    """Mesh-backed drop-in replacements for the Model's jitted steps.
+
+    ``auto_parallel(model, batch_size)`` returns one of these when more
+    than one device is usable (device count capped to the largest divisor
+    of the batch size — the loader always emits exactly ``batch_size``
+    rows), else None and callers use the single-chip steps.
+    """
+
+    def __init__(self, model, mesh: Mesh):
+        self.mesh = mesh
+        self.train_step = sharded_train_step(model, mesh)
+        self.train_step_lr_mult = sharded_train_step(model, mesh, with_lr_mult=True)
+        self.eval_step = sharded_eval_step(model, mesh)
+        self.interp_step = sharded_interp_step(model, mesh)
+
+    def place_state(self, state):
+        return replicate_to_mesh(state, self.mesh)
+
+    def place_batch(self, arrays: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        return shard_batch(arrays, self.mesh)
+
+
+def auto_parallel(model, batch_size: int, devices: Any = "auto"
+                  ) -> Optional[ParallelSteps]:
+    """Build ParallelSteps over the local devices (None for single-chip)."""
+    avail = jax.devices()
+    want = len(avail) if devices in (None, "auto") else min(int(devices), len(avail))
+    n = max(d for d in range(1, want + 1) if batch_size % d == 0)
+    if n <= 1:
+        return None
+    return ParallelSteps(model, make_mesh(n))

@@ -35,20 +35,35 @@ def predict(config) -> Optional[str]:
     model, state = Model.load_from_checkpoint(ckpt_path)
     rng = jax.random.PRNGKey(int(config.get("seed", 12345)))
 
+    # data-parallel inference when several chips are visible
+    from myria3d_tpu.parallel import auto_parallel
+
+    par = auto_parallel(model, datamodule.batch_size)
+    interp_fn = par.interp_step if par is not None else model.interp_step
+    if par is not None:
+        state = par.place_state(state)
+        log.info(f"Predicting data-parallel over {par.mesh.devices.size} devices")
+
     itp = instantiate(config["predict"]["interpolator"])
 
     for batch in datamodule.predict_dataloader():
         if batch is None:
             continue
-        arrays = batch.device_arrays()
         full = pad_full_cloud(batch.copies)
         sampled_pos = pad_sampled_pos(batch.copies, batch.num_points)
         if full is None or sampled_pos is None:
             log.warning("Batch without full-cloud copies; skipping.")
             continue
-        full_logits = model.interp_step(
+        arrays = batch.device_arrays()
+        arrays.update(
+            {"sampled_pos": sampled_pos, "full_pos": full["full_pos"],
+             "full_mask": full["full_mask"]}
+        )
+        if par is not None:
+            arrays = par.place_batch(arrays)
+        full_logits = interp_fn(
             state, arrays["x"], arrays["pos"], arrays["mask"],
-            sampled_pos, full["full_pos"], full["full_mask"], rng,
+            arrays["sampled_pos"], arrays["full_pos"], arrays["full_mask"], rng,
         )
         itp.store_predictions(full_logits, batch.idx_in_original_cloud)
 

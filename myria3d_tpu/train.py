@@ -84,6 +84,20 @@ class Trainer:
         self.finetune_cb = self.callbacks.get("finetune")
         self.global_step = 0
         self.state: Optional[TrainState] = None
+        self.par = None  # ParallelSteps when >1 device (set in fit/test)
+
+    def _setup_parallel(self, model: Model, batch_size: int) -> None:
+        from myria3d_tpu.parallel import auto_parallel
+
+        self.par = auto_parallel(model, batch_size, self.cfg.devices)
+        if self.par is not None:
+            log.info(
+                f"Data-parallel over {self.par.mesh.devices.size} devices "
+                f"(batch {batch_size})"
+            )
+
+    def _place(self, arrays):
+        return self.par.place_batch(arrays) if self.par is not None else arrays
 
     # ------------------------------------------------------------------
 
@@ -117,6 +131,9 @@ class Trainer:
             log.info(f"Restoring weights from checkpoint: {ckpt_path}")
             self.state = model.restore_into_state(ckpt_path, self.state)
         log.info(f"Model has {model.num_params(self.state):,} parameters")
+        self._setup_parallel(model, datamodule.batch_size)
+        if self.par is not None:
+            self.state = self.par.place_state(self.state)
         # sync the injected lr with model.lr (it may have been retuned by
         # the LR range test after the optimizer was built)
         self._apply_lr(model, 1.0)
@@ -159,14 +176,22 @@ class Trainer:
             for batch in iterator:
                 if batch is None:
                     continue
-                arrays = batch.device_arrays()
+                arrays = self._place(batch.device_arrays())
                 if lr_mult is None:
-                    self.state, loss, logits = model.train_step(
+                    step_fn = (
+                        self.par.train_step if self.par is not None
+                        else model.train_step
+                    )
+                    self.state, loss, logits = step_fn(
                         self.state, arrays["x"], arrays["pos"], arrays["y"],
                         arrays["mask"], step_rng,
                     )
                 else:
-                    self.state, loss, logits = model.train_step(
+                    step_fn = (
+                        self.par.train_step_lr_mult if self.par is not None
+                        else model.train_step
+                    )
+                    self.state, loss, logits = step_fn(
                         self.state, arrays["x"], arrays["pos"], arrays["y"],
                         arrays["mask"], step_rng, lr_mult,
                     )
@@ -188,6 +213,7 @@ class Trainer:
                 "train/loss_epoch": float(np.mean(train_losses)) if train_losses else float("nan"),
             }
             if self.metrics is not None:
+                self._log_confusion_matrix("train", epoch)
                 epoch_metrics.update(self.metrics.compute_and_reset("train"))
 
             # ---- val epoch
@@ -233,8 +259,9 @@ class Trainer:
         for batch in iterator:
             if batch is None:
                 continue
-            arrays = batch.device_arrays()
-            loss, logits = model.eval_step(
+            arrays = self._place(batch.device_arrays())
+            eval_fn = self.par.eval_step if self.par is not None else model.eval_step
+            loss, logits = eval_fn(
                 self.state, arrays["x"], arrays["pos"], arrays["y"],
                 arrays["mask"], rng,
             )
@@ -247,8 +274,21 @@ class Trainer:
             f"{log_prefix}/loss_epoch": float(np.mean(losses)) if losses else float("nan")
         }
         if self.metrics is not None:
+            self._log_confusion_matrix(log_prefix)
             out.update(self.metrics.compute_and_reset(log_prefix))
         return out
+
+    def _log_confusion_matrix(self, phase: str, epoch: int = 0) -> None:
+        """Push the per-epoch confusion matrix to loggers that accept one
+        (reference ``log_comet_cm``, ``comet_callbacks.py:61-87``)."""
+        if self.logger is None or not hasattr(self.logger, "log_confusion_matrix"):
+            return
+        cm = self.metrics.confusion_matrix(phase)
+        labels = [
+            self.metrics.class_names.get(i, str(i))
+            for i in range(self.metrics.num_classes)
+        ]
+        self.logger.log_confusion_matrix(cm, labels, epoch, f"{phase}_cm")
 
     # ------------------------------------------------------------------
 
@@ -265,17 +305,24 @@ class Trainer:
             state = self.state
         assert state is not None, "test() needs a state or ckpt_path"
         rng = jax.random.PRNGKey(self.seed + 777)
+        self._setup_parallel(model, datamodule.batch_size)
+        if self.par is not None:
+            state = self.par.place_state(state)
+        eval_fn = self.par.eval_step if self.par is not None else model.eval_step
+        interp_fn = (
+            self.par.interp_step if self.par is not None else model.interp_step
+        )
 
         losses: List[float] = []
         for batch in _limited(datamodule.test_dataloader(), self.cfg.limit_test_batches):
             if batch is None:
                 continue
-            arrays = batch.device_arrays()
+            arrays = self._place(batch.device_arrays())
             full = pad_full_cloud(batch.copies)
             sampled_pos = pad_sampled_pos(batch.copies, batch.num_points)
             if full is None or sampled_pos is None or "full_y" not in full:
                 # no copies stashed: fall back to subsampled-regime eval
-                loss, logits = model.eval_step(
+                loss, logits = eval_fn(
                     state, arrays["x"], arrays["pos"], arrays["y"],
                     arrays["mask"], rng,
                 )
@@ -283,9 +330,14 @@ class Trainer:
                 if self.metrics is not None:
                     self.metrics.update("test", logits, arrays["y"], arrays["mask"])
                 continue
-            full_logits = model.interp_step(
+            placed = self._place(
+                {"sampled_pos": sampled_pos, "full_pos": full["full_pos"],
+                 "full_mask": full["full_mask"]}
+            )
+            sampled_pos = placed["sampled_pos"]
+            full_logits = interp_fn(
                 state, arrays["x"], arrays["pos"], arrays["mask"],
-                sampled_pos, full["full_pos"], full["full_mask"], rng,
+                sampled_pos, placed["full_pos"], placed["full_mask"], rng,
             )
             loss = model.criterion(full_logits, full["full_y"])
             losses.append(float(loss))
@@ -295,6 +347,7 @@ class Trainer:
                 )
         out = {"test/loss_epoch": float(np.mean(losses)) if losses else float("nan")}
         if self.metrics is not None:
+            self._log_confusion_matrix("test")
             out.update(self.metrics.compute_and_reset("test"))
         self._log(out)
         log.info(
