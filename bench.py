@@ -27,7 +27,7 @@ import numpy as np
 def main() -> None:
     from __graft_entry__ import _flagship_model
 
-    B = 8          # subtiles per batch
+    B = 16         # subtiles per batch
     N = 12_288     # padded sampled points per subtile (~12.5k after grid sampling)
     M = 32_768     # padded full-cloud points per subtile (~30k raw)
     TRUE_FULL = 30_000  # actual raw points represented per subtile

@@ -1,0 +1,125 @@
+// pctl_native — host-side C++ kernels for the data layer.
+//
+// The reference's input pipeline leans on native code throughout (PDAL C++
+// readers, torch_cluster grid_cluster C++ for GridSampling — reference
+// configs/datamodule/transforms/preparations/points_budget.yaml:14-17).
+// This module supplies the equivalents for the TPU build's host side:
+//
+//   grid_sample   voxel-grid pooling (pos/x mean, y majority vote with
+//                 ties -> smallest code, voxels in lexicographic coord
+//                 order — bit-compatible with the numpy fallback in
+//                 pctl/transforms/transforms.py::GridSampling)
+//   crop_square   2-D Chebyshev ball query (square crop) used for subtile
+//                 extraction (reference pctl/dataset/utils.py:148-153)
+//
+// Exposed with a plain C ABI for ctypes (no pybind11 in the image).
+// Build: make -C myria3d_tpu/pctl/native  (or automatic on first import).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <numeric>
+#include <vector>
+
+extern "C" {
+
+// Voxel-grid pooling.
+//   pos       (n, 3) float32
+//   x         (n, fdim) float32 (fdim may be 0)
+//   y         (n,) int32 (ignored when has_y == 0); class codes in [0, 255]
+//   size      voxel edge length
+// Outputs (caller allocates n-sized buffers; only the first n_vox entries
+// are written):
+//   out_pos   (n, 3) float32 voxel means
+//   out_x     (n, fdim) float32 voxel means
+//   out_y     (n,) int32 voxel majority labels
+//   inverse   (n,) int32 point -> voxel slot (for aggregating extra keys)
+// Returns n_vox (or -1 on bad input).
+int64_t grid_sample(const float* pos, const float* x, const int32_t* y,
+                    int64_t n, int64_t fdim, float size, int has_y,
+                    float* out_pos, float* out_x, int32_t* out_y,
+                    int32_t* inverse) {
+  if (n <= 0 || size <= 0.f) return -1;
+
+  float mins[3] = {pos[0], pos[1], pos[2]};
+  for (int64_t i = 1; i < n; ++i) {
+    for (int d = 0; d < 3; ++d) mins[d] = std::min(mins[d], pos[i * 3 + d]);
+  }
+
+  // 21 bits per axis: coords up to 2^21 cells (a 50 m subtile at 0.25 m is
+  // 200 cells; a full 1 km tile at 0.05 m is 20k — ample headroom).
+  std::vector<uint64_t> key(n);
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t c[3];
+    for (int d = 0; d < 3; ++d) {
+      float v = std::floor((pos[i * 3 + d] - mins[d]) / size);
+      c[d] = static_cast<uint64_t>(v < 0 ? 0 : v) & ((1ull << 21) - 1);
+    }
+    key[i] = (c[0] << 42) | (c[1] << 21) | c[2];
+  }
+
+  std::vector<int64_t> order(n);
+  std::iota(order.begin(), order.end(), 0);
+  std::stable_sort(order.begin(), order.end(),
+            [&](int64_t a, int64_t b) { return key[a] < key[b]; });
+
+  std::vector<double> pos_acc(3);
+  std::vector<double> x_acc(fdim > 0 ? fdim : 1);
+  int y_count[256];
+
+  int64_t n_vox = 0;
+  int64_t run_start = 0;
+  while (run_start < n) {
+    int64_t run_end = run_start;
+    const uint64_t k = key[order[run_start]];
+    std::fill(pos_acc.begin(), pos_acc.end(), 0.0);
+    std::fill(x_acc.begin(), x_acc.end(), 0.0);
+    if (has_y) std::memset(y_count, 0, sizeof(y_count));
+    while (run_end < n && key[order[run_end]] == k) {
+      const int64_t i = order[run_end];
+      for (int d = 0; d < 3; ++d) pos_acc[d] += pos[i * 3 + d];
+      for (int64_t f = 0; f < fdim; ++f) x_acc[f] += x[i * fdim + f];
+      if (has_y) {
+        int32_t cls = y[i];
+        if (cls >= 0 && cls < 256) ++y_count[cls];
+      }
+      inverse[i] = static_cast<int32_t>(n_vox);
+      ++run_end;
+    }
+    const double cnt = static_cast<double>(run_end - run_start);
+    for (int d = 0; d < 3; ++d)
+      out_pos[n_vox * 3 + d] = static_cast<float>(pos_acc[d] / cnt);
+    for (int64_t f = 0; f < fdim; ++f)
+      out_x[n_vox * fdim + f] = static_cast<float>(x_acc[f] / cnt);
+    if (has_y) {
+      int best = 0, best_cnt = -1;
+      for (int cls = 0; cls < 256; ++cls) {
+        if (y_count[cls] > best_cnt) { best = cls; best_cnt = y_count[cls]; }
+      }
+      out_y[n_vox] = best;
+    }
+    ++n_vox;
+    run_start = run_end;
+  }
+  return n_vox;
+}
+
+// Square (Chebyshev) crop: writes indices of points with
+// max(|x-cx|, |y-cy|) <= half_width. Returns the count.
+int64_t crop_square(const float* pos, int64_t n, float cx, float cy,
+                    float half_width, int32_t* out_idx) {
+  int64_t m = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const float dx = pos[i * 3 + 0] - cx;
+    const float dy = pos[i * 3 + 1] - cy;
+    const float adx = dx < 0 ? -dx : dx;
+    const float ady = dy < 0 ? -dy : dy;
+    if (adx <= half_width && ady <= half_width) {
+      out_idx[m++] = static_cast<int32_t>(i);
+    }
+  }
+  return m;
+}
+
+}  // extern "C"

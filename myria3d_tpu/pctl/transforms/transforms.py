@@ -212,6 +212,11 @@ class GridSampling(Transform):
         n = pos.shape[0]
         if n == 0:
             return data
+
+        native = self._try_native(data)
+        if native is not None:
+            return native
+
         coords = np.floor((pos - pos.min(axis=0)) / self.size).astype(np.int64)
         # unique voxel ids; inverse maps point -> voxel slot
         _, inverse, counts = np.unique(
@@ -244,6 +249,53 @@ class GridSampling(Transform):
                 continue
             if isinstance(item, np.ndarray) and item.shape and item.shape[0] == n:
                 out[key] = voxel_mean(item.astype(np.float64)).astype(item.dtype)
+        data.clear()
+        data.update(out)
+        return data
+
+    def _try_native(self, data: dict) -> Optional[dict]:
+        """C++ fast path (``pctl/native``) — same voxel order/semantics as
+        the numpy implementation below; falls back on exotic inputs."""
+        pos = data["pos"]
+        n = pos.shape[0]
+        x = data.get("x") if isinstance(data.get("x"), np.ndarray) else None
+        y = data.get("y")
+        has_y = (
+            isinstance(y, np.ndarray) and y.shape[:1] == (n,)
+            and y.size and y.min() >= 0 and y.max() < 256
+        )
+        extra = [
+            key for key, item in data.items()
+            if key not in ("pos", "x", "y") and key not in _SKIP_KEYS
+            and isinstance(item, np.ndarray) and item.shape
+            and item.shape[0] == n
+        ]
+        try:
+            from myria3d_tpu.pctl.native import native_grid_sample
+        except Exception:
+            return None
+        res = native_grid_sample(pos, x, y if has_y else None, self.size)
+        if res is None:
+            return None
+        out_pos, out_x, out_y, inverse = res
+        out = dict(data)
+        out["pos"] = out_pos.astype(pos.dtype)
+        if x is not None and out_x is not None:
+            out["x"] = out_x.astype(x.dtype)
+        if has_y and out_y is not None:
+            out["y"] = out_y.astype(y.dtype)
+        n_vox = out_pos.shape[0]
+        if extra:
+            counts = np.bincount(inverse, minlength=n_vox).astype(np.float64)
+            for key in extra:
+                item = data[key]
+                sums = np.zeros(
+                    (n_vox,) + item.shape[1:], dtype=np.float64
+                )
+                np.add.at(sums, inverse, item.astype(np.float64))
+                out[key] = (
+                    sums / counts.reshape((-1,) + (1,) * (item.ndim - 1))
+                ).astype(item.dtype)
         data.clear()
         data.update(out)
         return data
