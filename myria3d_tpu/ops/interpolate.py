@@ -31,6 +31,20 @@ def knn_interpolate(
     k: int = 3,
 ) -> jnp.ndarray:
     """Interpolate source features onto target points. Returns (B, Nt, C)."""
+    if k == 1:
+        from myria3d_tpu.ops.pallas_nn1 import nn1_available
+
+        if nn1_available():
+            # fused Pallas nearest-neighbor: distances never leave VMEM
+            from myria3d_tpu.ops.pallas_nn1 import nearest_neighbor_pallas
+
+            idx1, d21 = nearest_neighbor_pallas(pos_tgt, pos_src, src_mask)
+            valid1 = d21 < 0.25e8
+            if tgt_mask is not None:
+                valid1 = valid1 & tgt_mask
+            out = jax.vmap(lambda xb, ib: xb[ib])(x, jnp.where(valid1, idx1, 0))
+            out = jnp.where(valid1[..., None], out, 0.0)
+            return out
     idx, d2, neigh_valid = knn(pos_tgt, pos_src, src_mask, k, query_mask=tgt_mask)
     w = 1.0 / jnp.maximum(d2, 1e-16)                    # (B, Nt, K)
     w = jnp.where(neigh_valid, w, 0.0)

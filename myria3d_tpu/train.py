@@ -173,6 +173,12 @@ class Trainer:
                     self.cfg.limit_train_batches,
                 )
             )
+            if overfit_batches is None:
+                # overlap host-side sample prep/collate with device steps
+                # (SURVEY.md §7: double-buffered host->device feeding)
+                from myria3d_tpu.pctl.loader import BackgroundIterator
+
+                iterator = BackgroundIterator(iterator, max_prefetch=2)
             for batch in iterator:
                 if batch is None:
                     continue

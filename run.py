@@ -135,6 +135,14 @@ def launch_hdf5(config):
 
 
 def main(argv: List[str]):
+    if "--help" in argv or "-h" in argv:
+        print(__doc__)
+        print(
+            "Tasks: fit (default) | test | finetune | predict | create_hdf5\n"
+            "Usage: python run.py [--config-path DIR] [--config-name NAME]"
+            " [task.task_name=T] [group=choice ...] [a.b=value ...]"
+        )
+        return None
     # Load environment variables from .env if present (reference run.py:118-120).
     if os.path.isfile(".env"):
         for line in open(".env"):

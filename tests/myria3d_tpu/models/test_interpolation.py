@@ -1,0 +1,64 @@
+"""Interpolator unit tests: overlap merging, channel derivation, LAS write
+(reference ``myria3d/models/interpolation.py`` semantics)."""
+
+import os
+
+import numpy as np
+
+from myria3d_tpu.models.interpolation import Interpolator
+
+CLASSIFICATION_DICT = {1: "unclassified", 2: "ground", 6: "building"}
+
+
+def test_overlap_merge_by_logit_sum():
+    itp = Interpolator(classification_dict=CLASSIFICATION_DICT)
+    # two subtiles covering overlapping points 0..3 and 2..5 of a 6-pt cloud
+    logits_a = np.zeros((1, 4, 3), np.float32)
+    logits_a[0, :, 0] = 1.0  # votes class slot 0
+    logits_b = np.zeros((1, 4, 3), np.float32)
+    logits_b[0, :, 2] = 3.0  # stronger votes class slot 2
+    itp.store_predictions(logits_a, [np.arange(0, 4)])
+    itp.store_predictions(logits_b, [np.arange(2, 6)])
+    merged = itp.reduce_predicted_logits(6)
+    assert merged.shape == (6, 3)
+    np.testing.assert_allclose(merged[0], [1, 0, 0])
+    np.testing.assert_allclose(merged[2], [1, 0, 3])  # summed in overlap
+    np.testing.assert_allclose(merged[5], [0, 0, 3])
+    # argmax -> reverse class codes
+    codes = itp.reverse_mapper[np.argmax(merged, axis=1)]
+    assert codes[0] == 1 and codes[2] == 6
+
+
+def test_store_predictions_truncates_to_idx_length():
+    itp = Interpolator(classification_dict=CLASSIFICATION_DICT)
+    logits = np.zeros((2, 10, 3), np.float32)  # padded to 10
+    itp.store_predictions(logits, [np.arange(4), None])  # only 4 real pts
+    assert len(itp.logits) == 1
+    assert itp.logits[0].shape == (4, 3)
+
+
+def test_reduce_and_save_las(tmp_path):
+    from myria3d_tpu.pctl.dataset.toy_dataset import write_synthetic_toy_las
+    from myria3d_tpu.pctl.io.las import read_las
+
+    src = str(tmp_path / "tile.las")
+    write_synthetic_toy_las(src, n_points=2000)
+    n = len(read_las(src).points)
+
+    itp = Interpolator(
+        classification_dict=CLASSIFICATION_DICT, probas_to_save=["ground"]
+    )
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(1, n, 3)).astype(np.float32)
+    itp.store_predictions(logits, [np.arange(n)])
+    out_path = itp.reduce_predictions_and_save(src, str(tmp_path / "out"))
+    assert os.path.isfile(out_path)
+    out = read_las(out_path)
+    assert len(out.points) == n
+    names = out.points.dtype.names
+    assert "PredictedClassification" in names and "entropy" in names
+    assert "ground" in names and "building" not in names
+    # accumulators reset for the next tile
+    assert itp.logits == [] and itp.idx_in_full_cloud == []
+    # codes map back into the original class-code space
+    assert set(np.unique(out.points["PredictedClassification"])) <= {1, 2, 6}
