@@ -236,23 +236,25 @@ class Model:
     # Checkpointing (orbax)
     # ------------------------------------------------------------------
 
-    def save_checkpoint(self, ckpt_dir: str, state: TrainState) -> str:
+    def save_checkpoint(self, ckpt_dir: str, state: TrainState,
+                        save_opt_state: bool = True) -> str:
         import orbax.checkpoint as ocp
 
         from myria3d_tpu.utils.config import to_yaml
 
         ckpt_dir = os.path.abspath(ckpt_dir)
         os.makedirs(ckpt_dir, exist_ok=True)
+        payload = {
+            "step": state.step,
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+        }
+        if save_opt_state:
+            payload["opt_state"] = state.opt_state
         with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save(
                 os.path.join(ckpt_dir, MODEL_CKPT_STATE_DIR),
-                jax.device_get(
-                    {
-                        "step": state.step,
-                        "params": state.params,
-                        "batch_stats": state.batch_stats,
-                    }
-                ),
+                jax.device_get(payload),
                 force=True,
             )
         if self.raw_hparams is not None:
@@ -260,21 +262,36 @@ class Model:
                 f.write(to_yaml(self.raw_hparams))
         return ckpt_dir
 
-    def restore_into_state(self, ckpt_dir: str, state: TrainState) -> TrainState:
-        """Load params/BN stats from a checkpoint into an existing state
-        (optimizer state is freshly initialized — reference finetune
-        semantics, ``train.py:159-170``)."""
+    def restore_into_state(self, ckpt_dir: str, state: TrainState,
+                           restore_opt_state: bool = True) -> TrainState:
+        """Load a checkpoint into an existing state.
+
+        ``restore_opt_state=True`` resumes training exactly (optimizer
+        moments included, when the ckpt has them); False reproduces the
+        reference finetune semantics — weights only, fresh optimizer
+        (``train.py:159-170``).
+        """
         import orbax.checkpoint as ocp
 
         with ocp.PyTreeCheckpointer() as ckptr:
             restored = ckptr.restore(
                 os.path.join(os.path.abspath(ckpt_dir), MODEL_CKPT_STATE_DIR)
             )
-        return state.replace(
+        out = state.replace(
             step=jnp.asarray(restored.get("step", 0), jnp.int32),
             params=restored["params"],
             batch_stats=restored["batch_stats"],
         )
+        if restore_opt_state and restored.get("opt_state") is not None:
+            template = jax.tree_util.tree_leaves(state.opt_state)
+            stored = jax.tree_util.tree_leaves(restored["opt_state"])
+            if len(template) == len(stored):
+                out = out.replace(
+                    opt_state=jax.tree_util.tree_unflatten(
+                        jax.tree_util.tree_structure(state.opt_state), stored
+                    )
+                )
+        return out
 
     @classmethod
     def load_from_checkpoint(cls, ckpt_dir: str, **override_hparams: Any

@@ -45,8 +45,18 @@ def shard_batch(arrays: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, Any]:
     Requires the batch dim to divide the mesh size — the padded loader
     always emits exactly ``batch_size`` rows, so choose batch_size as a
     multiple of the device count.
+
+    Multi-host (num_nodes > 1): each process passes its *local* shard of
+    the global batch; ``make_array_from_process_local_data`` assembles the
+    logically-global array (replaces the reference's DistributedSampler +
+    DDP input path, SURVEY.md §5.8).
     """
     sharding = NamedSharding(mesh, P(DATA_AXIS))
+    if jax.process_count() > 1:
+        return {
+            k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+            for k, v in arrays.items()
+        }
     return {k: jax.device_put(v, sharding) for k, v in arrays.items()}
 
 

@@ -129,7 +129,11 @@ class Trainer:
         self.state = model.init_state(rng, first.device_arrays())
         if ckpt_path:
             log.info(f"Restoring weights from checkpoint: {ckpt_path}")
-            self.state = model.restore_into_state(ckpt_path, self.state)
+            # finetune: weights only + fresh optimizer (reference semantics);
+            # plain fit resume: optimizer moments restored too
+            self.state = model.restore_into_state(
+                ckpt_path, self.state, restore_opt_state=not finetune
+            )
         log.info(f"Model has {model.num_params(self.state):,} parameters")
         self._setup_parallel(model, datamodule.batch_size)
         if self.par is not None:
