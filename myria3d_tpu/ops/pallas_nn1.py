@@ -133,8 +133,10 @@ def nearest_neighbor_pallas(
 
 
 def nn1_available() -> bool:
-    """The kernel targets the TPU backend (CPU tests use the dense path)."""
+    """The kernel targets single-chip TPU (CPU tests use the dense path;
+    under a multi-chip mesh the dense path partitions cleanly with GSPMD
+    while a vmapped pallas_call may not)."""
     try:
-        return jax.default_backend() == "tpu"
+        return jax.default_backend() == "tpu" and jax.device_count() == 1
     except Exception:
         return False

@@ -149,7 +149,10 @@ def get_las_paths_by_split_dict(
     split_df = pd.read_csv(split_csv_path)
     for phase in ["train", "val", "test"]:
         basenames = split_df[split_df.split == phase].basename.tolist()
-        las_paths_by_split_dict[phase] = [str(Path(data_dir) / phase / b) for b in basenames]
+        # files may live anywhere under data_dir (reference find_file_in_dir)
+        las_paths_by_split_dict[phase] = [
+            find_file_in_dir(data_dir, b) for b in basenames
+        ]
     if not any(las_paths_by_split_dict.values()):
         raise FileNotFoundError(
             f"No basename found while parsing directory {data_dir} "

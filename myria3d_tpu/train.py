@@ -144,6 +144,9 @@ class Trainer:
 
         scheduler = self._scheduler_for(model)
         per_step_sched = bool(getattr(scheduler, "per_step", False))
+        if per_step_sched:
+            # OneCycle starts at max_lr / div_factor, not max_lr
+            self._apply_lr(model, scheduler.scale)
         step_rng = jax.random.fold_in(rng, 1)
 
         # sanity val steps (reference trainer.num_sanity_val_steps)
@@ -158,9 +161,21 @@ class Trainer:
                 if b is not None
             ]
 
+        # optional jax profiler capture of the first epoch
+        # (trainer.profiler="jax"; SURVEY.md §5.1 first-class upgrade)
+        profile_dir = None
+        if self.cfg.extra.get("profiler") == "jax":
+            profile_dir = os.path.join(
+                os.environ.get("LOGS_DIR", "logs"), "profile"
+            )
+            log.info(f"Profiling epoch 0 to {profile_dir}")
+
         stop = False
         epoch = 0
         for epoch in range(self.cfg.max_epochs):
+            from myria3d_tpu.utils.profiling import trace
+
+            epoch_trace = trace(profile_dir if epoch == 0 else None)
             lr_mult = None
             if finetune and self.finetune_cb is not None:
                 lr_mult = self.finetune_cb.lr_mult_for_epoch(
@@ -183,40 +198,43 @@ class Trainer:
                 from myria3d_tpu.pctl.loader import BackgroundIterator
 
                 iterator = BackgroundIterator(iterator, max_prefetch=2)
-            for batch in iterator:
-                if batch is None:
-                    continue
-                arrays = self._place(batch.device_arrays())
-                if lr_mult is None:
-                    step_fn = (
-                        self.par.train_step if self.par is not None
-                        else model.train_step
-                    )
-                    self.state, loss, logits = step_fn(
-                        self.state, arrays["x"], arrays["pos"], arrays["y"],
-                        arrays["mask"], step_rng,
-                    )
-                else:
-                    step_fn = (
-                        self.par.train_step_lr_mult if self.par is not None
-                        else model.train_step
-                    )
-                    self.state, loss, logits = step_fn(
-                        self.state, arrays["x"], arrays["pos"], arrays["y"],
-                        arrays["mask"], step_rng, lr_mult,
-                    )
-                self.global_step += 1
-                train_losses.append(float(loss))
-                if self.metrics is not None:
-                    self.metrics.update("train", logits, arrays["y"], arrays["mask"])
-                if self.global_step % max(1, self.cfg.log_every_n_steps) == 0:
-                    row = {"train/loss_step": float(loss)}
-                    if self.lr_monitor is not None and scheduler is not None:
-                        row.update(self.lr_monitor.metrics(
-                            model.lr * getattr(scheduler, "scale", 1.0)))
-                    self._log(row)
-                if per_step_sched:
-                    self._apply_lr(model, scheduler.step())
+            with epoch_trace:
+                for batch in iterator:
+                    if batch is None:
+                        continue
+                    arrays = self._place(batch.device_arrays())
+                    if lr_mult is None:
+                        step_fn = (
+                            self.par.train_step if self.par is not None
+                            else model.train_step
+                        )
+                        self.state, loss, logits = step_fn(
+                            self.state, arrays["x"], arrays["pos"],
+                            arrays["y"], arrays["mask"], step_rng,
+                        )
+                    else:
+                        step_fn = (
+                            self.par.train_step_lr_mult if self.par is not None
+                            else model.train_step
+                        )
+                        self.state, loss, logits = step_fn(
+                            self.state, arrays["x"], arrays["pos"],
+                            arrays["y"], arrays["mask"], step_rng, lr_mult,
+                        )
+                    self.global_step += 1
+                    train_losses.append(float(loss))
+                    if self.metrics is not None:
+                        self.metrics.update(
+                            "train", logits, arrays["y"], arrays["mask"]
+                        )
+                    if self.global_step % max(1, self.cfg.log_every_n_steps) == 0:
+                        row = {"train/loss_step": float(loss)}
+                        if self.lr_monitor is not None and scheduler is not None:
+                            row.update(self.lr_monitor.metrics(
+                                model.lr * getattr(scheduler, "scale", 1.0)))
+                        self._log(row)
+                    if per_step_sched:
+                        self._apply_lr(model, scheduler.step())
 
             epoch_metrics: Dict[str, float] = {
                 "epoch": float(epoch),
