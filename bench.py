@@ -1,14 +1,14 @@
 """Benchmark: predict-path device throughput on the flagship RandLA-Net.
 
 Metric matches BASELINE.json ("Mpts/sec/chip on 1 km² Lidar HD predict"):
-full-cloud points segmented per second through the device inference path —
-jitted forward on GridSampled/padded subtile batches + on-device k=10
-kNN-interpolation of logits back to every raw point (the reference does this
-interpolation on CPU, ``myria3d/models/model.py:87-98``).
+full-cloud points segmented per second through the production device
+inference path — jitted forward + on-device k=10 kNN interpolation of
+logits back to every raw point (the reference did this on CPU,
+``myria3d/models/model.py:87-98``).
 
-Shapes mirror production Lidar HD numbers: ~50 m subtiles of ~30 k raw
-points GridSampled(0.25 m) to ~12.5 k (SURVEY.md §6), padded to
-N=12 288 sampled / M=32 768 full-cloud slots.
+Data mirrors production Lidar HD: per 50 m subtile, ~30k raw points
+GridSampled(0.25 m) on the host (the real pctl transform, native C++ when
+available) to ~12k sampled points, padded to N=12 288 / M=32 768.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is against the 5 Mpts/s v5e-8 north star scaled to one chip
@@ -21,31 +21,50 @@ import json
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
 def main() -> None:
     from __graft_entry__ import _flagship_model
+    from myria3d_tpu.pctl.transforms.transforms import CopyFullPos, GridSampling
 
     B = 16         # subtiles per batch
-    N = 12_288     # padded sampled points per subtile (~12.5k after grid sampling)
-    M = 32_768     # padded full-cloud points per subtile (~30k raw)
-    TRUE_FULL = 30_000  # actual raw points represented per subtile
+    N = 12_288     # padded sampled points per subtile
+    M = 32_768     # padded full-cloud points per subtile
+    TRUE_FULL = 30_000  # raw points per subtile (~10 pulses/m² x 50 m²)
+
+    rng = np.random.default_rng(0)
+    x = np.zeros((B, N, 9), np.float32)
+    pos = np.zeros((B, N, 3), np.float32)
+    mask = np.zeros((B, N), bool)
+    full_pos = np.zeros((B, M, 3), np.float32)
+    full_mask = np.zeros((B, M), bool)
+    f2s = np.full((B, M), -1, np.int32)
+
+    gs = GridSampling(0.25)
+    for b in range(B):
+        raw = np.stack(
+            [rng.uniform(0, 50, TRUE_FULL), rng.uniform(0, 50, TRUE_FULL),
+             rng.uniform(0, 10, TRUE_FULL)], axis=1,
+        ).astype(np.float32)
+        sample = {"pos": raw, "x": rng.uniform(0, 1, (TRUE_FULL, 9)).astype(np.float32)}
+        sample = CopyFullPos()(sample)
+        sample = gs(sample)
+        ns = min(sample["pos"].shape[0], N)
+        pos[b, :ns] = sample["pos"][:ns]
+        x[b, :ns] = sample["x"][:ns]
+        mask[b, :ns] = True
+        full_pos[b, :TRUE_FULL] = raw
+        full_mask[b, :TRUE_FULL] = True
+        mapped = sample["copies"]["full_to_sampled"]
+        mapped = np.where(mapped < ns, mapped, -1)
+        f2s[b, :TRUE_FULL] = mapped
 
     model = _flagship_model()
-    rng = np.random.default_rng(0)
-    x = np.asarray(rng.uniform(0, 1, (B, N, 9)), np.float32)
-    pos = np.asarray(rng.uniform(-25, 25, (B, N, 3)), np.float32)
-    mask = np.ones((B, N), bool)
-    full_pos = np.asarray(rng.uniform(-25, 25, (B, M, 3)), np.float32)
-    full_mask = np.zeros((B, M), bool)
-    full_mask[:, :TRUE_FULL] = True
-
     batch = {
-        "x": jax.numpy.asarray(x),
-        "pos": jax.numpy.asarray(pos),
-        "y": jax.numpy.zeros((B, N), jax.numpy.int32),
-        "mask": jax.numpy.asarray(mask),
+        "x": jnp.asarray(x), "pos": jnp.asarray(pos),
+        "y": jnp.zeros((B, N), jnp.int32), "mask": jnp.asarray(mask),
     }
     state = model.init_state(jax.random.PRNGKey(0), batch)
     # NOTE: the step reduces its (B, M, C) logits to one scalar on device and
@@ -53,14 +72,13 @@ def main() -> None:
     # block_until_ready alone can report bogus sub-ms timings.
     interp = model.build_interp_step()
     step = jax.jit(lambda *a: interp(*a).sum())
-    key = jax.random.PRNGKey(1)
-
     args = (
-        state, batch["x"], batch["pos"], batch["mask"],
-        jax.numpy.asarray(pos), jax.numpy.asarray(full_pos),
-        jax.numpy.asarray(full_mask), key,
+        state, batch["x"], batch["pos"], batch["mask"], batch["pos"],
+        jnp.asarray(full_pos), jnp.asarray(full_mask),
+        jax.random.PRNGKey(1),
     )
-    jax.device_get(step(*args))  # warmup/compile
+    out = jax.device_get(step(*args))  # warmup/compile
+    assert np.isfinite(out)
 
     n_iters = 10
     t0 = time.perf_counter()

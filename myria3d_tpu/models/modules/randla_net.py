@@ -102,6 +102,9 @@ class DilatedResidualBlock(nn.Module):
         self, x: jnp.ndarray, pos: jnp.ndarray, mask: jnp.ndarray, train: bool
     ) -> jnp.ndarray:
         idx, _, neigh_valid = knn_graph(pos, mask, self.num_neighbors)
+        # expose the graph (apply with mutable=["intermediates"]) — reused
+        # by graph-interpolation at predict time (ops/graph_interp.py)
+        self.sow("intermediates", "knn_graph", (idx, neigh_valid))
         shortcut_of_x = SharedMLP(
             [self.d_out], act=False, dtype=self.dtype, name="shortcut"
         )(x, mask, train)

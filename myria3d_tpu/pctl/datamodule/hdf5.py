@@ -196,5 +196,25 @@ class HDF5LidarDataModule:
         )
 
 
+    def _visualize_graph(self, data: dict, color: Optional[str] = None) -> None:
+        """Debug 3-D scatter of one sample (reference ``_visualize_graph``,
+        ``pctl/datamodule/hdf5.py:191-228``). Needs matplotlib (optional)."""
+        try:
+            import matplotlib.pyplot as plt
+        except ImportError:
+            import warnings
+
+            warnings.warn("matplotlib not available; cannot visualize sample")
+            return
+        fig = plt.figure()
+        ax = fig.add_subplot(projection="3d")
+        pos = data["pos"]
+        c = None
+        if color == "y" and "y" in data:
+            c = data["y"]
+        ax.scatter(pos[:, 0], pos[:, 1], pos[:, 2], s=1, c=c)
+        plt.show()
+
+
 def _round_up_128(n: int) -> int:
     return ((int(n) + 127) // 128) * 128

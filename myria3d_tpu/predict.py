@@ -46,6 +46,10 @@ def predict(config) -> Optional[str]:
 
     itp = instantiate(config["predict"]["interpolator"])
 
+    use_graph = bool(
+        config["predict"].get("use_graph_interpolation", True)
+    ) and model.supports_graph_interpolation() and par is None
+
     for batch in datamodule.predict_dataloader():
         if batch is None:
             continue
@@ -61,10 +65,20 @@ def predict(config) -> Optional[str]:
         )
         if par is not None:
             arrays = par.place_batch(arrays)
-        full_logits = interp_fn(
-            state, arrays["x"], arrays["pos"], arrays["mask"],
-            arrays["sampled_pos"], arrays["full_pos"], arrays["full_mask"], rng,
-        )
+        if use_graph and "full_to_sampled" in full:
+            # graph-reuse interpolation: the forward's stage-1 kNN graph
+            # supplies every raw point's candidate neighbors (no search)
+            full_logits = model.graph_interp_step(
+                state, arrays["x"], arrays["pos"], arrays["mask"],
+                arrays["sampled_pos"], arrays["full_pos"],
+                arrays["full_mask"], full["full_to_sampled"], rng,
+            )
+        else:
+            full_logits = interp_fn(
+                state, arrays["x"], arrays["pos"], arrays["mask"],
+                arrays["sampled_pos"], arrays["full_pos"],
+                arrays["full_mask"], rng,
+            )
         itp.store_predictions(full_logits, batch.idx_in_original_cloud)
 
     out_path = itp.reduce_predictions_and_save(

@@ -72,6 +72,17 @@ def log_hyperparameters(logger: Any, config: dict, model: Any, state: Any) -> No
     logger.log_hyperparams(hparams)
 
 
+def define_device_from_config_param(gpus_param: Any) -> str:
+    """Reference ``utils.py:168-178`` parity shim: the torch build mapped
+    ``predict.gpus`` to cuda/cpu; on this stack the backend is selected
+    automatically (TPU when visible, else CPU), so the knob is accepted for
+    config compatibility and the resolved platform is returned."""
+    import jax
+
+    del gpus_param  # accepted for config compatibility only
+    return jax.default_backend()
+
+
 def eval_time(method: Callable) -> Callable:
     """Wall-clock timing decorator (reference ``utils.py:153-165``)."""
 
