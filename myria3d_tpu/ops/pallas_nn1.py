@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from myria3d_tpu.ops.knn import _PAD_D2, _VALID_THRESH, _augment_keys, _augment_queries
+from myria3d_tpu.ops.knn import _augment_keys, _augment_queries
 
 TILE_Q = 512
 CHUNK_K = 2048

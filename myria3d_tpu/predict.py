@@ -9,7 +9,6 @@ per-class probabilities / entropy dimensions.
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 import jax
