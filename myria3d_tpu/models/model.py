@@ -201,8 +201,7 @@ class Model:
                 x, pos, mask, train=False, rngs={"decimation": rng},
                 mutable=["intermediates"],
             )
-            graph = aux["intermediates"]["block1"]["knn_graph"][0]
-            idx, neigh_valid = graph
+            idx, neigh_valid = aux["intermediates"]["block1"]["knn_graph"][0]
             return graph_interpolate(
                 logits, sampled_pos, mask, idx, neigh_valid,
                 full_pos, full_to_sampled, full_mask,

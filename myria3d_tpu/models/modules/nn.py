@@ -91,6 +91,118 @@ class MaskedBatchNorm(nn.Module):
         return y.astype(x.dtype)
 
 
+class DenseCF(nn.Module):
+    """Dense over the *channel* axis of channels-first ``(B, C, ..., N)``
+    tensors. Parameter names/shapes identical to ``nn.Dense`` (kernel
+    ``(in, out)``, bias ``(out,)``) so checkpoints are interchangeable with
+    the channels-last path."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (in_features, self.features),
+        )
+        y = jnp.einsum(
+            "io,bi...->bo...", kernel.astype(self.dtype), x.astype(self.dtype)
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(self.dtype).reshape(
+                (1, self.features) + (1,) * (y.ndim - 2)
+            )
+        return y
+
+
+class MaskedBatchNormCF(nn.Module):
+    """MaskedBatchNorm for channels-first ``(B, C, ..., N)`` tensors; same
+    parameter/collection names as ``MaskedBatchNorm``."""
+
+    features: int
+    momentum: float = BN_MOMENTUM
+    eps: float = BN_EPS
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, valid: Optional[jnp.ndarray], train: bool
+    ) -> jnp.ndarray:
+        # x: (B, C, ..., N); valid: bool (B, ..., N) or None
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(self.features, jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(self.features, jnp.float32)
+        )
+        xf = x.astype(jnp.float32)
+        axes = (0,) + tuple(range(2, x.ndim))
+        if train:
+            if valid is None:
+                mean = jnp.mean(xf, axis=axes)
+                var = jnp.var(xf, axis=axes)
+                n = jnp.float32(xf.size // self.features)
+            else:
+                vm = valid[:, None].astype(jnp.float32)       # (B,1,...,N)
+                cnt = jnp.maximum(jnp.sum(vm, axis=axes), 1.0)
+                mean = jnp.sum(xf * vm, axis=axes) / cnt
+                shape = (1, self.features) + (1,) * (x.ndim - 2)
+                var = jnp.sum(
+                    ((xf - mean.reshape(shape)) ** 2) * vm, axis=axes
+                ) / cnt
+                n = cnt
+            if not self.is_initializing():
+                unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+                ra_mean.value = (
+                    (1.0 - self.momentum) * ra_mean.value + self.momentum * mean
+                )
+                ra_var.value = (
+                    (1.0 - self.momentum) * ra_var.value + self.momentum * unbiased
+                )
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        shape = (1, self.features) + (1,) * (x.ndim - 2)
+        y = (xf - mean.reshape(shape)) * jax.lax.rsqrt(var.reshape(shape) + self.eps)
+        y = y * scale.reshape(shape) + bias.reshape(shape)
+        return y.astype(x.dtype)
+
+
+class SharedMLPCF(nn.Module):
+    """Channels-first SharedMLP (edge tensors ``(B, C, K, N)``): identical
+    math and parameter tree to ``SharedMLP``, but the large N axis rides the
+    lane dimension — a trailing C of 4-16 would be tile-padded to 128 lanes
+    and cost ~10-30x HBM traffic (docs/perf_notes.md)."""
+
+    channels: Sequence[int]
+    act: bool = True
+    norm: bool = True
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, valid: Optional[jnp.ndarray], train: bool
+    ) -> jnp.ndarray:
+        for i, width in enumerate(self.channels):
+            x = DenseCF(
+                width, use_bias=self.use_bias, dtype=self.dtype,
+                name=f"Dense_{i}",
+            )(x)
+            if self.norm:
+                x = MaskedBatchNormCF(width, name=f"MaskedBatchNorm_{i}")(
+                    x, valid, train
+                )
+            if self.act:
+                x = lrelu(x)
+        return x
+
+
 class SharedMLP(nn.Module):
     """Per-point MLP: [Dense -> MaskedBN -> LeakyReLU(0.2) -> Dropout] x L.
 

@@ -27,7 +27,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from myria3d_tpu.models.modules.nn import SharedMLP, lrelu
+from myria3d_tpu.models.modules.nn import SharedMLP, SharedMLPCF, lrelu
 from myria3d_tpu.ops.interpolate import knn_interpolate
 from myria3d_tpu.ops.knn import gather_neighbors, knn_graph
 from myria3d_tpu.ops.masked import masked_softmax
@@ -57,33 +57,44 @@ class LocalFeatureAggregation(nn.Module):
         mask: jnp.ndarray,         # (B, N) bool — valid centers
         train: bool,
     ) -> jnp.ndarray:
+        # Channels-first (B, C, K, N) internals: the large N axis rides the
+        # lane dimension. The natural (B, N, K, C) layout tile-pads C=4-16
+        # to 128 lanes, inflating every edge tensor 8-32x (perf_notes.md).
         k = idx.shape[-1]
-        pos_j = gather_neighbors(pos, idx)                    # (B, N, K, 3)
-        pos_i = jnp.broadcast_to(pos[:, :, None, :], pos_j.shape)
+        idx_t = jnp.swapaxes(idx, 1, 2)                        # (B, K, N)
+        nv_t = jnp.swapaxes(neigh_valid, 1, 2)                 # (B, K, N)
+        pos_cf = jnp.swapaxes(pos, 1, 2).astype(self.dtype)    # (B, 3, N)
+        x_cf = jnp.swapaxes(x, 1, 2)                           # (B, C/2, N)
+
+        gather_cf = jax.vmap(lambda t, i: t[:, i])             # -> (C, K, N)
+        pos_j = gather_cf(pos_cf, idx_t)                       # (B, 3, K, N)
+        pos_i = pos_cf[:, :, None, :]                          # (B, 3, 1, N)
         pos_diff = pos_j - pos_i
         distance = jnp.sqrt(
-            jnp.maximum(jnp.sum(pos_diff * pos_diff, axis=-1, keepdims=True), 0.0)
+            jnp.maximum(jnp.sum(pos_diff * pos_diff, axis=1, keepdims=True), 0.0)
         )
         relative_infos = jnp.concatenate(
-            [pos_i, pos_j, pos_diff, distance], axis=-1
-        ).astype(self.dtype)                                   # (B, N, K, 10)
-        local_spatial_encoding = SharedMLP(
+            [jnp.broadcast_to(pos_i, pos_j.shape), pos_j, pos_diff, distance],
+            axis=1,
+        )                                                      # (B, 10, K, N)
+        local_spatial_encoding = SharedMLPCF(
             [self.channels // 2], dtype=self.dtype, name="mlp_encoder"
-        )(relative_infos, neigh_valid, train)
-        x_j = gather_neighbors(x, idx)                         # (B, N, K, C/2)
+        )(relative_infos, nv_t, train)
+        x_j = gather_cf(x_cf, idx_t)                           # (B, C/2, K, N)
         local_features = jnp.concatenate(
-            [x_j, local_spatial_encoding], axis=-1
-        )                                                      # (B, N, K, C)
+            [x_j, local_spatial_encoding], axis=1
+        )                                                      # (B, C, K, N)
 
-        att_features = SharedMLP(
+        att_features = SharedMLPCF(
             [self.channels], act=False, norm=False, use_bias=False,
             dtype=self.dtype, name="mlp_attention",
         )(local_features, None, train)
         att_scores = masked_softmax(
-            att_features, neigh_valid[..., None], axis=2
+            att_features, nv_t[:, None], axis=2
         ).astype(local_features.dtype)
 
-        out = jnp.sum(att_scores * local_features, axis=2)     # (B, N, C)
+        out_cf = jnp.sum(att_scores * local_features, axis=2)  # (B, C, N)
+        out = jnp.swapaxes(out_cf, 1, 2)                       # (B, N, C)
         out = SharedMLP(
             [self.channels], dtype=self.dtype, name="mlp_post_attention"
         )(out, mask, train)
@@ -194,7 +205,6 @@ class RandLANet(nn.Module):
         logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc_classif")(
             x.astype(jnp.float32)
         )
-
         if self.return_logits:
             return logits
         return jax.nn.log_softmax(logits, axis=-1)
