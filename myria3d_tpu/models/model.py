@@ -139,37 +139,37 @@ class Model:
         (``myria3d_tpu.parallel``)."""
 
         def step(state: TrainState, x, pos, y, mask, rng, lr_mult=None):
-                step_rng = jax.random.fold_in(rng, state.step)
-                dec_rng, drop_rng = jax.random.split(step_rng)
+            step_rng = jax.random.fold_in(rng, state.step)
+            dec_rng, drop_rng = jax.random.split(step_rng)
 
-                def loss_fn(params):
-                    logits, updates = self._apply(
-                        params, state.batch_stats, x, pos, mask,
-                        train=True,
-                        rngs={"decimation": dec_rng, "dropout": drop_rng},
-                        mutable=["batch_stats"],
-                    )
-                    loss = self.criterion(logits, y)
-                    return loss, (logits, updates["batch_stats"])
+            def loss_fn(params):
+                logits, updates = self._apply(
+                    params, state.batch_stats, x, pos, mask,
+                    train=True,
+                    rngs={"decimation": dec_rng, "dropout": drop_rng},
+                    mutable=["batch_stats"],
+                )
+                loss = self.criterion(logits, y)
+                return loss, (logits, updates["batch_stats"])
 
-                (loss, (logits, new_stats)), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(state.params)
-                updates, new_opt_state = self.tx.update(
-                    grads, state.opt_state, state.params
+            (loss, (logits, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            updates, new_opt_state = self.tx.update(
+                grads, state.opt_state, state.params
+            )
+            if lr_mult is not None:
+                updates = jax.tree_util.tree_map(
+                    lambda u, m: u * m, updates, lr_mult
                 )
-                if lr_mult is not None:
-                    updates = jax.tree_util.tree_map(
-                        lambda u, m: u * m, updates, lr_mult
-                    )
-                new_params = optax.apply_updates(state.params, updates)
-                new_state = state.replace(
-                    step=state.step + 1,
-                    params=new_params,
-                    batch_stats=new_stats,
-                    opt_state=new_opt_state,
-                )
-                return new_state, loss, logits
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt_state,
+            )
+            return new_state, loss, logits
 
         return step
 
