@@ -49,7 +49,10 @@ def predict(config) -> Optional[str]:
         config["predict"].get("use_graph_interpolation", True)
     ) and model.supports_graph_interpolation() and par is None
 
-    for batch in datamodule.predict_dataloader():
+    from myria3d_tpu.pctl.loader import BackgroundIterator
+
+    # overlap host-side subtile prep/collate with device inference
+    for batch in BackgroundIterator(datamodule.predict_dataloader(), max_prefetch=2):
         if batch is None:
             continue
         full = pad_full_cloud(batch.copies)

@@ -1,0 +1,87 @@
+"""PaddedBatchLoader semantics: none-proofing, bucketing, shuffling,
+background prefetch (reference GeometricNoneProofDataloader analog)."""
+
+import numpy as np
+import pytest
+
+from myria3d_tpu.pctl.batching import collate_padded
+from myria3d_tpu.pctl.loader import BackgroundIterator, PaddedBatchLoader
+
+
+def _sample(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "pos": rng.uniform(0, 1, (n, 3)).astype(np.float32),
+        "x": rng.uniform(0, 1, (n, 9)).astype(np.float32),
+        "y": rng.integers(0, 7, n).astype(np.int32),
+    }
+
+
+class ListDataset:
+    def __init__(self, samples):
+        self.samples = samples
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i):
+        return self.samples[i]
+
+
+def test_none_samples_dropped_and_batch_padded():
+    ds = ListDataset([_sample(100), None, _sample(200), None])
+    loader = PaddedBatchLoader(ds, batch_size=4, buckets=(256,))
+    batches = list(loader)
+    assert len(batches) == 1
+    b = batches[0]
+    assert b.pos.shape == (4, 256, 3)       # batch dim always batch_size
+    assert list(b.num_valid) == [100, 200, 0, 0]
+    assert b.mask[0].sum() == 100 and not b.mask[2].any()
+    # pad targets carry the ignore code
+    assert (b.y[0][100:] == 65).all()
+
+
+def test_all_none_yields_nothing():
+    ds = ListDataset([None, None, None])
+    assert list(PaddedBatchLoader(ds, batch_size=2)) == []
+
+
+def test_bucket_ladder_selection():
+    ds = ListDataset([_sample(100), _sample(900)])
+    loader = PaddedBatchLoader(ds, batch_size=2, buckets=(128, 512, 1024))
+    (b,) = list(loader)
+    assert b.num_points == 1024  # max sample picks the bucket
+
+
+def test_shuffle_changes_order_deterministically():
+    samples = [_sample(10 + i, seed=i) for i in range(8)]
+    ds = ListDataset(samples)
+
+    def order(seed, epoch=0):
+        loader = PaddedBatchLoader(
+            ds, batch_size=8, shuffle=True, seed=seed, buckets=(32,)
+        )
+        loader.set_epoch(epoch)
+        (b,) = list(loader)
+        return list(b.num_valid)
+
+    assert order(1) == order(1)            # deterministic per seed
+    assert order(1) != order(2) or order(1) != order(3)
+
+
+def test_background_iterator_passthrough_and_errors():
+    assert list(BackgroundIterator(iter([1, 2, 3]))) == [1, 2, 3]
+
+    def boom():
+        yield 1
+        raise RuntimeError("boom")
+
+    it = BackgroundIterator(boom())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError):
+        list(it)
+
+
+def test_collate_rejects_oversized_batch():
+    with pytest.raises(ValueError):
+        collate_padded([_sample(10)] * 3, batch_size=2)

@@ -131,6 +131,34 @@ def test_predict_las_invariance(
     np.testing.assert_allclose(proba_sum, 1.0, atol=1e-4)
 
 
+def test_predict_with_subtile_overlap(
+    tmp_path, one_epoch_trained_ckpt, toy_las_path
+):
+    """Sliding-window inference (reference CI smoke with
+    ``predict.subtile_overlap=25``): overlapping subtile logits merge by
+    summation; output invariants hold."""
+    from myria3d_tpu.pctl.io.las import read_las
+
+    out_dir = str(tmp_path / "preds_overlap")
+    run_cli(
+        [
+            "--config-path", CONFIG_DIR,
+            "task.task_name=predict",
+            f"predict.src_las={toy_las_path}",
+            f"predict.ckpt_path={one_epoch_trained_ckpt}",
+            f"predict.output_dir={out_dir}",
+            "predict.subtile_overlap=25",
+            "datamodule.batch_size=2",
+        ],
+        cwd=str(tmp_path),
+    )
+    out_path = os.path.join(out_dir, os.path.basename(toy_las_path))
+    out = read_las(out_path)
+    src = read_las(toy_las_path)
+    assert len(out.points) == len(src.points)
+    assert "PredictedClassification" in (out.points.dtype.names or ())
+
+
 def test_run_test_task_with_ckpt(
     tmp_path, one_epoch_trained_ckpt, toy_dataset_hdf5_path
 ):
