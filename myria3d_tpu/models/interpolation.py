@@ -64,9 +64,11 @@ class Interpolator:
         for b, idx in enumerate(idx_in_original_cloud):
             if idx is None:
                 continue
-            n = len(idx)
+            # clouds denser than the largest padded bucket are truncated at
+            # padding time; keep logits/indices aligned
+            n = min(len(idx), logits.shape[1])
             self.logits.append(logits[b, :n])
-            self.idx_in_full_cloud.append(np.asarray(idx, np.int64))
+            self.idx_in_full_cloud.append(np.asarray(idx[:n], np.int64))
 
     def reduce_predicted_logits(self, nb_points: int) -> np.ndarray:
         """Merge overlapping subtile predictions by summing logits per

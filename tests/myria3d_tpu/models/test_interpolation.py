@@ -37,6 +37,18 @@ def test_store_predictions_truncates_to_idx_length():
     assert itp.logits[0].shape == (4, 3)
 
 
+def test_store_predictions_truncates_when_cloud_exceeds_bucket():
+    """Subtiles denser than the largest padded bucket keep logits/indices
+    aligned (extra raw points fall back to the merge of other windows)."""
+    itp = Interpolator(classification_dict=CLASSIFICATION_DICT)
+    logits = np.zeros((1, 8, 3), np.float32)  # bucket M=8
+    itp.store_predictions(logits, [np.arange(12)])  # 12 raw points
+    assert itp.logits[0].shape == (8, 3)
+    assert len(itp.idx_in_full_cloud[0]) == 8
+    merged = itp.reduce_predicted_logits(12)
+    assert merged.shape == (12, 3)
+
+
 def test_reduce_and_save_las(tmp_path):
     from myria3d_tpu.pctl.dataset.toy_dataset import write_synthetic_toy_las
     from myria3d_tpu.pctl.io.las import read_las

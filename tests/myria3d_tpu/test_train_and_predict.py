@@ -40,7 +40,7 @@ def run_cli(args, cwd, extra_env=None):
     }
     result = subprocess.run(
         [sys.executable, os.path.join(REPO_ROOT, "run.py"), *args],
-        cwd=cwd, env=env, capture_output=True, text=True, timeout=1500,
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=3600,
     )
     if result.returncode != 0:
         raise AssertionError(
