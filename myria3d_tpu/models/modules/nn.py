@@ -183,6 +183,7 @@ class SharedMLPCF(nn.Module):
     act: bool = True
     norm: bool = True
     use_bias: bool = True
+    bn_momentum: float = BN_MOMENTUM
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -195,9 +196,10 @@ class SharedMLPCF(nn.Module):
                 name=f"Dense_{i}",
             )(x)
             if self.norm:
-                x = MaskedBatchNormCF(width, name=f"MaskedBatchNorm_{i}")(
-                    x, valid, train
-                )
+                x = MaskedBatchNormCF(
+                    width, momentum=self.bn_momentum,
+                    name=f"MaskedBatchNorm_{i}",
+                )(x, valid, train)
             if self.act:
                 x = lrelu(x)
         return x
@@ -218,6 +220,7 @@ class SharedMLP(nn.Module):
     norm: bool = True
     use_bias: bool = True
     dropout: Optional[Sequence[float]] = None
+    bn_momentum: float = BN_MOMENTUM
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -227,7 +230,9 @@ class SharedMLP(nn.Module):
         for i, width in enumerate(self.channels):
             x = nn.Dense(width, use_bias=self.use_bias, dtype=self.dtype)(x)
             if self.norm:
-                x = MaskedBatchNorm(width)(x, valid, train)
+                x = MaskedBatchNorm(width, momentum=self.bn_momentum)(
+                    x, valid, train
+                )
             if self.act:
                 x = lrelu(x)
             if self.dropout is not None and self.dropout[i] > 0:

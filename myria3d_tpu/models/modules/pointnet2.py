@@ -32,6 +32,7 @@ class SetAbstraction(nn.Module):
     radius: float
     num_neighbors: int
     mlp: Sequence[int]
+    bn_momentum: float = 0.01
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -52,7 +53,8 @@ class SetAbstraction(nn.Module):
         x_j = gather_neighbors(x, idx)                            # (B, M, K, C)
         feats = jnp.concatenate([x_j, rel.astype(x.dtype)], axis=-1)
 
-        h = SharedMLP(list(self.mlp), dtype=self.dtype, name="pointnet")(
+        h = SharedMLP(list(self.mlp), bn_momentum=self.bn_momentum,
+                      dtype=self.dtype, name="pointnet")(
             feats, neigh_valid, train
         )
         h = jnp.where(neigh_valid[..., None], h, _NEG)
@@ -66,6 +68,7 @@ class FeaturePropagation(nn.Module):
 
     mlp: Sequence[int]
     k: int = 3
+    bn_momentum: float = 0.01
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -74,7 +77,8 @@ class FeaturePropagation(nn.Module):
         up = up.astype(self.dtype)
         if x_skip is not None:
             up = jnp.concatenate([up, x_skip], axis=-1)
-        return SharedMLP(list(self.mlp), dtype=self.dtype, name="mlp")(
+        return SharedMLP(list(self.mlp), bn_momentum=self.bn_momentum,
+                         dtype=self.dtype, name="mlp")(
             up, mask_skip, train
         )
 
@@ -94,6 +98,7 @@ class PointNet2(nn.Module):
     radii: Sequence[float] = (0.05, 0.1, 0.2, 0.4)
     widths: Sequence[int] = (64, 128, 256, 512)
     return_logits: bool = True
+    bn_momentum: float = 0.01
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -106,13 +111,15 @@ class PointNet2(nn.Module):
     ) -> jnp.ndarray:
         x = x if x is not None else pos
         x = x.astype(self.dtype)
-        x = SharedMLP([32], dtype=self.dtype, name="fc0")(x, mask, train)
+        x = SharedMLP([32], bn_momentum=self.bn_momentum, dtype=self.dtype,
+                      name="fc0")(x, mask, train)
 
         skips = [(x, pos, mask)]
         for i, (r, w) in enumerate(zip(self.radii, self.widths)):
             x, pos, mask = SetAbstraction(
                 self.decimation, r, self.num_neighbors,
-                [w // 2, w // 2, w], dtype=self.dtype, name=f"sa{i + 1}",
+                [w // 2, w // 2, w], bn_momentum=self.bn_momentum,
+                dtype=self.dtype, name=f"sa{i + 1}",
             )(x, pos, mask, train)
             skips.append((x, pos, mask))
 
@@ -121,11 +128,13 @@ class PointNet2(nn.Module):
         for j in range(len(self.radii)):
             x_skip, pos_skip, mask_skip = skips[len(skips) - 2 - j]
             x = FeaturePropagation(
-                [fp_widths[j]], dtype=self.dtype, name=f"fp{4 - j}",
+                [fp_widths[j]], bn_momentum=self.bn_momentum,
+                dtype=self.dtype, name=f"fp{4 - j}",
             )(x, pos, mask, x_skip, pos_skip, mask_skip, train)
             pos, mask = pos_skip, mask_skip
 
-        x = SharedMLP([128], dropout=[0.5], dtype=self.dtype, name="head")(
+        x = SharedMLP([128], dropout=[0.5], bn_momentum=self.bn_momentum,
+                      dtype=self.dtype, name="head")(
             x, mask, train
         )
         logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc_classif")(

@@ -45,6 +45,7 @@ class LocalFeatureAggregation(nn.Module):
     """
 
     channels: int
+    bn_momentum: float = 0.01
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -78,7 +79,8 @@ class LocalFeatureAggregation(nn.Module):
             axis=1,
         )                                                      # (B, 10, K, N)
         local_spatial_encoding = SharedMLPCF(
-            [self.channels // 2], dtype=self.dtype, name="mlp_encoder"
+            [self.channels // 2], bn_momentum=self.bn_momentum,
+            dtype=self.dtype, name="mlp_encoder",
         )(relative_infos, nv_t, train)
         x_j = gather_cf(x_cf, idx_t)                           # (B, C/2, K, N)
         local_features = jnp.concatenate(
@@ -96,7 +98,8 @@ class LocalFeatureAggregation(nn.Module):
         out_cf = jnp.sum(att_scores * local_features, axis=2)  # (B, C, N)
         out = jnp.swapaxes(out_cf, 1, 2)                       # (B, N, C)
         out = SharedMLP(
-            [self.channels], dtype=self.dtype, name="mlp_post_attention"
+            [self.channels], bn_momentum=self.bn_momentum,
+            dtype=self.dtype, name="mlp_post_attention",
         )(out, mask, train)
         return out
 
@@ -106,6 +109,7 @@ class DilatedResidualBlock(nn.Module):
 
     num_neighbors: int
     d_out: int
+    bn_momentum: float = 0.01
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -117,18 +121,23 @@ class DilatedResidualBlock(nn.Module):
         # by graph-interpolation at predict time (ops/graph_interp.py)
         self.sow("intermediates", "knn_graph", (idx, neigh_valid))
         shortcut_of_x = SharedMLP(
-            [self.d_out], act=False, dtype=self.dtype, name="shortcut"
+            [self.d_out], act=False, bn_momentum=self.bn_momentum,
+            dtype=self.dtype, name="shortcut",
         )(x, mask, train)
-        x = SharedMLP([self.d_out // 8], dtype=self.dtype, name="mlp1")(
+        x = SharedMLP([self.d_out // 8], bn_momentum=self.bn_momentum,
+                      dtype=self.dtype, name="mlp1")(
             x, mask, train
         )
         x = LocalFeatureAggregation(
-            self.d_out // 4, dtype=self.dtype, name="lfa1"
+            self.d_out // 4, bn_momentum=self.bn_momentum,
+            dtype=self.dtype, name="lfa1",
         )(x, pos, idx, neigh_valid, mask, train)
         x = LocalFeatureAggregation(
-            self.d_out // 2, dtype=self.dtype, name="lfa2"
+            self.d_out // 2, bn_momentum=self.bn_momentum,
+            dtype=self.dtype, name="lfa2",
         )(x, pos, idx, neigh_valid, mask, train)
-        x = SharedMLP([self.d_out], act=False, dtype=self.dtype, name="mlp2")(
+        x = SharedMLP([self.d_out], act=False, bn_momentum=self.bn_momentum,
+                      dtype=self.dtype, name="mlp2")(
             x, mask, train
         )
         return lrelu(x + shortcut_of_x)
@@ -147,6 +156,7 @@ class RandLANet(nn.Module):
     decimation: int = 4
     num_neighbors: int = 16
     return_logits: bool = True
+    bn_momentum: float = 0.01
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -169,8 +179,8 @@ class RandLANet(nn.Module):
         skips = []  # (x, pos, mask) at each pre-decimation resolution
         for i, d_out in enumerate(widths):
             x = DilatedResidualBlock(
-                self.num_neighbors, d_out, dtype=self.dtype,
-                name=f"block{i + 1}",
+                self.num_neighbors, d_out, bn_momentum=self.bn_momentum,
+                dtype=self.dtype, name=f"block{i + 1}",
             )(x, pos, mask, train)
             skips.append((x, pos, mask))
             dec_idx, dec_mask = random_decimation(
@@ -180,7 +190,8 @@ class RandLANet(nn.Module):
             pos = jax.vmap(lambda t, j: t[j])(pos, dec_idx)
             mask = dec_mask
 
-        x = SharedMLP([512], dtype=self.dtype, name="mlp_summit")(
+        x = SharedMLP([512], bn_momentum=self.bn_momentum, dtype=self.dtype,
+                      name="mlp_summit")(
             x, mask, train
         )
 
@@ -194,13 +205,15 @@ class RandLANet(nn.Module):
                 x, pos, mask, pos_skip, mask_skip, k=1
             ).astype(self.dtype)
             x = jnp.concatenate([x, x_skip], axis=-1)
-            x = SharedMLP([width], dtype=self.dtype, name=f"fp{4 - j}")(
+            x = SharedMLP([width], bn_momentum=self.bn_momentum, dtype=self.dtype,
+                          name=f"fp{4 - j}")(
                 x, mask_skip, train
             )
             pos, mask = pos_skip, mask_skip
 
         x = SharedMLP(
-            [64, 32], dropout=[0.0, 0.5], dtype=self.dtype, name="mlp_classif"
+            [64, 32], dropout=[0.0, 0.5], bn_momentum=self.bn_momentum,
+            dtype=self.dtype, name="mlp_classif",
         )(x, mask, train)
         logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc_classif")(
             x.astype(jnp.float32)

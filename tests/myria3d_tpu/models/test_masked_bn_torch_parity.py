@@ -82,3 +82,34 @@ def test_eval_mode_uses_running_stats():
     )
     ref = tbn(torch.tensor(x.reshape(-1, C))).detach().numpy().reshape(B, N, C)
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_bn_momentum_configurable_through_the_net():
+    """neural_net_hparams.bn_momentum threads to every BatchNorm."""
+    import jax
+    import jax.numpy as jnp
+    from myria3d_tpu.models.modules.randla_net import RandLANet
+
+    rng = np.random.default_rng(0)
+    net = RandLANet(num_features=9, num_classes=7, num_neighbors=8,
+                    bn_momentum=0.5)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 256, 9)).astype(np.float32))
+    pos = jnp.asarray(rng.uniform(-1, 1, (1, 256, 3)).astype(np.float32))
+    mask = jnp.ones((1, 256), bool)
+    vs = jax.jit(lambda r, *a: net.init(r, *a, train=False))(
+        {"params": jax.random.PRNGKey(0), "decimation": jax.random.PRNGKey(1)},
+        x, pos, mask,
+    )
+    _, updates = jax.jit(
+        lambda v, *a: net.apply(
+            v, *a, train=True,
+            rngs={"decimation": jax.random.PRNGKey(2),
+                  "dropout": jax.random.PRNGKey(3)},
+            mutable=["batch_stats"],
+        )
+    )(vs, x, pos, mask)
+    # running mean moves half-way (momentum 0.5) from 0 toward the batch
+    # mean; with momentum 0.01 it would move 50x less
+    stats = updates["batch_stats"]["block1"]["shortcut"]["MaskedBatchNorm_0"]
+    moved = float(jnp.abs(np.asarray(stats["mean"])).max())
+    assert moved > 1e-3, moved
