@@ -104,6 +104,20 @@ def knn(
     # torch_cluster.knn returning < k edges for tiny clouds.
     k_eff = min(k, nk)
 
+    # Center per cloud before the norm expansion: absolute georeferenced
+    # inputs (Lambert-93, |Y| ~ 6.6e6 m) carry |p|^2 ~ 4e13 m^2, so the
+    # f32 expansion loses ~2^22 m^2 of mantissa — larger than any true
+    # subtile distance — and neighbor ranking becomes noise. Subtracting a
+    # shared per-cloud offset leaves true differences unchanged and keeps
+    # every term small.
+    cnt = jnp.maximum(jnp.sum(key_mask, axis=1), 1)
+    offset = (
+        jnp.sum(jnp.where(key_mask[..., None], key_pos, 0.0), axis=1)
+        / cnt[..., None].astype(key_pos.dtype)
+    )[:, None, :]
+    query_pos = query_pos - offset
+    key_pos = key_pos - offset
+
     q4 = _augment_queries(query_pos)
     k4 = _augment_keys(key_pos, key_mask)
 

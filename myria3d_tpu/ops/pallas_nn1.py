@@ -85,6 +85,15 @@ def nearest_neighbor_pallas(
     valid key get d2 >= the pad threshold (caller masks them).
     """
     b, nq, _ = query_pos.shape
+    # Same per-cloud centering as ops.knn: georeferenced magnitudes would
+    # otherwise cancel catastrophically in the f32 norm expansion.
+    cnt = jnp.maximum(jnp.sum(key_mask, axis=1), 1)
+    offset = (
+        jnp.sum(jnp.where(key_mask[..., None], key_pos, 0.0), axis=1)
+        / cnt[..., None].astype(key_pos.dtype)
+    )[:, None, :]
+    query_pos = query_pos - offset
+    key_pos = key_pos - offset
     q4 = _pad_to(_augment_queries(query_pos), 1, TILE_Q)
     # pad keys with the pad coordinate so padded rows are never nearest
     k4 = _augment_keys(key_pos, key_mask)

@@ -38,6 +38,56 @@ def test_knn_matches_bruteforce():
             assert set(idx[b, i]) == set(ref_idx[i]), (b, i)
 
 
+def test_knn_at_georeferenced_scale():
+    """Regression: absolute Lambert-93 coordinates (|Y| ~ 6.6e6 m) must not
+    scramble neighbor ranking through f32 cancellation in the norm expansion
+    (ADVICE r1). Oracle is float64 brute force."""
+    rng = np.random.default_rng(42)
+    B, N, K = 2, 512, 10
+    # a 50 m subtile somewhere in France
+    origin = np.array([652000.0, 6862000.0, 120.0])
+    pos64 = origin + rng.uniform(0, 50, (B, N, 3)) * np.array([1.0, 1.0, 0.4])
+    pos = pos64.astype(np.float32)
+    # oracle in float64 on the f32-quantized inputs: tests the algorithm's
+    # cancellation, not the (inherent, ~0.25 m) input rounding
+    pos64 = pos.astype(np.float64)
+    mask = np.ones((B, N), dtype=bool)
+    mask[1, 480:] = False
+    idx, d2, nv = knn(jnp.asarray(pos), jnp.asarray(pos), jnp.asarray(mask),
+                      K, query_mask=jnp.asarray(mask), exact=True)
+    idx, d2 = np.asarray(idx), np.asarray(d2)
+    match = 0
+    checked = 0
+    for b in range(B):
+        ref_idx, ref_d2 = _np_knn(pos64[b], pos64[b], mask[b], K)
+        for i in range(0, N, 17):
+            if not mask[b, i]:
+                continue
+            checked += 1
+            match += len(set(idx[b, i]) & set(ref_idx[i])) / K
+        # distances small and accurate (not ~1e6 m^2 rounding noise)
+        np.testing.assert_allclose(
+            np.sort(d2[b][mask[b]], axis=-1),
+            np.sort(ref_d2[mask[b]], axis=-1), rtol=1e-3, atol=1e-2,
+        )
+    assert match / checked > 0.99, f"true-NN recall {match / checked:.3f}"
+
+
+def test_knn_interpolate_at_georeferenced_scale():
+    """k=1 interpolation at absolute coordinate scale copies the true
+    nearest source feature (covers the dense path used on CPU/mesh)."""
+    rng = np.random.default_rng(43)
+    origin = np.array([652000.0, 6862000.0, 120.0], dtype=np.float64)
+    src64 = origin + rng.uniform(0, 50, (1, 256, 3))
+    tgt64 = src64 + rng.normal(0, 1e-3, src64.shape)
+    x = rng.normal(size=(1, 256, 4)).astype(np.float32)
+    mask = np.ones((1, 256), dtype=bool)
+    out = np.asarray(knn_interpolate(
+        jnp.asarray(x), jnp.asarray(src64.astype(np.float32)), jnp.asarray(mask),
+        jnp.asarray(tgt64.astype(np.float32)), jnp.asarray(mask), k=1))
+    np.testing.assert_allclose(out[0], x[0], atol=1e-3)
+
+
 def test_knn_self_loop_first():
     rng = np.random.default_rng(1)
     pos = rng.uniform(-1, 1, (1, 128, 3)).astype(np.float32)
