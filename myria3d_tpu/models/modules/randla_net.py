@@ -174,21 +174,28 @@ class RandLANet(nn.Module):
         x = nn.Dense(d_bottleneck, dtype=self.dtype, name="fc0")(x)
 
         # Encoder: block -> decimate, 4 stages. Stage i state lives at
-        # resolution N / decimation**i.
+        # resolution N / decimation**i. Decoder skips follow the reference
+        # wiring exactly (``pyg_randla_net.py:58-79``): fp4/fp3/fp2 concat
+        # the *decimated* outputs of blocks 3/2/1 (the next block's input),
+        # fp1 the pre-decimation ``b1_out`` — FP Dense input widths
+        # 512+256, 256+128, 128+32, 32+32.
         widths = (32, 128, 256, 512)
-        skips = []  # (x, pos, mask) at each pre-decimation resolution
+        skips = []  # (x, pos, mask): [b1_out@N, b1_dec@N/4, b2_dec@N/16, b3_dec@N/64]
         for i, d_out in enumerate(widths):
             x = DilatedResidualBlock(
                 self.num_neighbors, d_out, bn_momentum=self.bn_momentum,
                 dtype=self.dtype, name=f"block{i + 1}",
             )(x, pos, mask, train)
-            skips.append((x, pos, mask))
+            if i == 0:
+                skips.append((x, pos, mask))
             dec_idx, dec_mask = random_decimation(
                 self.make_rng("decimation"), mask, self.decimation
             )
             x = jax.vmap(lambda t, j: t[j])(x, dec_idx)
             pos = jax.vmap(lambda t, j: t[j])(pos, dec_idx)
             mask = dec_mask
+            if i < len(widths) - 1:
+                skips.append((x, pos, mask))
 
         x = SharedMLP([512], bn_momentum=self.bn_momentum, dtype=self.dtype,
                       name="mlp_summit")(
