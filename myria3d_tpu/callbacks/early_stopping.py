@@ -37,6 +37,7 @@ class EarlyStopping:
             self.wait = 0
         else:
             self.wait += 1
-            if self.wait > self.patience:
+            # Lightning semantics: stop once wait_count >= patience.
+            if self.wait >= self.patience:
                 self.should_stop = True
         return self.should_stop

@@ -216,6 +216,10 @@ def create_hdf5(
             with h5py.File(hdf5_file_path, "a") as hdf5_file:
                 if basename in hdf5_file[split]:
                     continue
+                # Create the group up front so a LAS whose subtiles are all
+                # pre-filtered out still gets is_complete and is not redone
+                # on every resume run.
+                hdf5_file[split].create_group(basename)
 
                 subtile_overlap = subtile_overlap_train if split == "train" else 0
                 for sample_number, (sample_idx, sample_points) in enumerate(
@@ -247,5 +251,4 @@ def create_hdf5(
                         sample_idx.shape, dtype="i", data=sample_idx,
                     )
 
-                if basename in hdf5_file[split]:
-                    hdf5_file[split][basename].attrs["is_complete"] = True
+                hdf5_file[split][basename].attrs["is_complete"] = True

@@ -45,8 +45,10 @@ def predict(config) -> Optional[str]:
 
     itp = instantiate(config["predict"]["interpolator"])
 
+    # default False matches configs/predict/default.yaml: the graph-reuse
+    # path is approximate and opt-in
     use_graph = bool(
-        config["predict"].get("use_graph_interpolation", True)
+        config["predict"].get("use_graph_interpolation", False)
     ) and model.supports_graph_interpolation() and par is None
 
     from myria3d_tpu.pctl.loader import BackgroundIterator

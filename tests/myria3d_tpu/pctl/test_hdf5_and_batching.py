@@ -58,6 +58,29 @@ def test_incomplete_group_resume(tmp_path, toy_las_path):
         assert len(f["train"][basename].keys()) == n_before
 
 
+def test_all_filtered_las_marked_complete(tmp_path, toy_las_path):
+    """A LAS whose subtiles are all pre-filtered out must still be marked
+    is_complete so it is not reprocessed on every resume (ADVICE r1)."""
+    from myria3d_tpu.pctl.dataset.hdf5 import create_hdf5
+    import os
+
+    hdf5 = str(tmp_path / "empty.hdf5")
+    splits = {"train": [toy_las_path]}
+    drop_all = lambda data: True  # noqa: E731
+    create_hdf5(splits, hdf5, "2154", tile_width=110, subtile_width=50,
+                pre_filter=drop_all)
+    basename = os.path.basename(toy_las_path)
+    with h5py.File(hdf5, "r") as f:
+        assert basename in f["train"]
+        assert f["train"][basename].attrs["is_complete"]
+        assert len(f["train"][basename].keys()) == 0
+    # resume run must skip it (group untouched, still complete)
+    create_hdf5(splits, hdf5, "2154", tile_width=110, subtile_width=50,
+                pre_filter=drop_all)
+    with h5py.File(hdf5, "r") as f:
+        assert f["train"][basename].attrs["is_complete"]
+
+
 def test_bucket_size():
     assert bucket_size(1, (512, 1024)) == 512
     assert bucket_size(513, (512, 1024)) == 1024
