@@ -64,9 +64,14 @@ class Interpolator:
         for b, idx in enumerate(idx_in_original_cloud):
             if idx is None:
                 continue
-            # clouds denser than the largest padded bucket are truncated at
-            # padding time; keep logits/indices aligned
             n = min(len(idx), logits.shape[1])
+            if n < len(idx):
+                # should not happen since the padding ladder grows past its
+                # top entry; surface it loudly if a caller truncates anyway
+                log.warning(
+                    f"Subtile logits truncated: {len(idx) - n} of {len(idx)} "
+                    "points lose their predictions (padded bucket too small)."
+                )
             self.logits.append(logits[b, :n])
             self.idx_in_full_cloud.append(np.asarray(idx[:n], np.int64))
 
@@ -88,6 +93,21 @@ class Interpolator:
         nb_points = len(points)
         logits = self.reduce_predicted_logits(nb_points)
 
+        # Coverage: points never reached by any subtile keep zero logits and
+        # would silently argmax to the first class (reference covers 100%,
+        # interpolation.py:98-121) — count and report them.
+        covered = np.zeros(nb_points, dtype=bool)
+        for idx in self.idx_in_full_cloud:
+            covered[idx] = True
+        n_uncovered = int(nb_points - covered.sum())
+        if n_uncovered:
+            log.warning(
+                f"{n_uncovered}/{nb_points} points "
+                f"({100.0 * n_uncovered / nb_points:.2f}%) were not covered "
+                "by any subtile prediction; their outputs default to the "
+                "first class code with uniform probabilities."
+            )
+
         # numerically-stable softmax
         m = logits.max(axis=1, keepdims=True)
         e = np.exp(logits - m)
@@ -100,9 +120,6 @@ class Interpolator:
             extra_fields.append((name, np.float32, probas[:, ci]))
         if self.predicted_classification_channel:
             preds = self.reverse_mapper[np.argmax(probas, axis=1)]
-            # points never covered by any subtile keep class 0 semantics of
-            # argmax over zero logits -> class 0's code; mark them via the
-            # covered mask below if needed.
             extra_fields.append(
                 (self.predicted_classification_channel, np.uint8,
                  preds.astype(np.uint8))

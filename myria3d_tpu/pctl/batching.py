@@ -33,12 +33,21 @@ DEFAULT_BUCKETS = (512, 1024, 2048, 4096, 8192, 16384, 24576, 32768, 40960)
 DEFAULT_FULL_BUCKETS = (1024, 4096, 8192, 16384, 32768, 65536, 98304, 131072)
 
 
+# Growth quantum above the ladder top: coarse (one extra XLA compile per
+# step) but never truncates — dense Lidar HD 50 m subtiles can exceed the
+# top entry and the reference interpolates every point.
+_OVERFLOW_QUANTUM = 16384
+
+
 def bucket_size(n: int, buckets: Sequence[int]) -> int:
-    """Smallest ladder size >= n (last ladder entry caps it)."""
+    """Smallest ladder size >= n; grows past the top entry in coarse
+    quanta instead of truncating (silent truncation dropped points'
+    predictions entirely — ADVICE r1)."""
     for b in buckets:
         if n <= b:
             return b
-    return buckets[-1]
+    top = buckets[-1]
+    return top + -(-(n - top) // _OVERFLOW_QUANTUM) * _OVERFLOW_QUANTUM
 
 
 @dataclasses.dataclass

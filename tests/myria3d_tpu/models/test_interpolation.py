@@ -2,12 +2,25 @@
 (reference ``myria3d/models/interpolation.py`` semantics)."""
 
 import os
+from contextlib import contextmanager
 
 import numpy as np
 
 from myria3d_tpu.models.interpolation import Interpolator
 
 CLASSIFICATION_DICT = {1: "unclassified", 2: "ground", 6: "building"}
+
+
+@contextmanager
+def _propagating_log():
+    """The package logger has propagate=False; let caplog see it."""
+    from myria3d_tpu.models import interpolation as mod
+
+    mod.log.propagate = True
+    try:
+        yield
+    finally:
+        mod.log.propagate = False
 
 
 def test_overlap_merge_by_logit_sum():
@@ -37,16 +50,41 @@ def test_store_predictions_truncates_to_idx_length():
     assert itp.logits[0].shape == (4, 3)
 
 
-def test_store_predictions_truncates_when_cloud_exceeds_bucket():
-    """Subtiles denser than the largest padded bucket keep logits/indices
-    aligned (extra raw points fall back to the merge of other windows)."""
+def test_store_predictions_warns_when_cloud_exceeds_bucket(caplog):
+    """Truncation keeps logits/indices aligned AND is surfaced loudly
+    (ADVICE r1: silent truncation == silent misclassification)."""
+    import logging
+
     itp = Interpolator(classification_dict=CLASSIFICATION_DICT)
     logits = np.zeros((1, 8, 3), np.float32)  # bucket M=8
-    itp.store_predictions(logits, [np.arange(12)])  # 12 raw points
+    with _propagating_log(), caplog.at_level(logging.WARNING):
+        itp.store_predictions(logits, [np.arange(12)])  # 12 raw points
+    assert any("truncated" in r.message for r in caplog.records)
     assert itp.logits[0].shape == (8, 3)
     assert len(itp.idx_in_full_cloud[0]) == 8
     merged = itp.reduce_predicted_logits(12)
     assert merged.shape == (12, 3)
+
+
+def test_uncovered_points_warned(tmp_path, caplog):
+    """Points never covered by any subtile are counted and reported."""
+    import logging
+
+    from myria3d_tpu.pctl.dataset.toy_dataset import write_synthetic_toy_las
+    from myria3d_tpu.pctl.io.las import read_las
+
+    src = str(tmp_path / "tile.las")
+    write_synthetic_toy_las(src, n_points=1000)
+    n = len(read_las(src).points)
+
+    itp = Interpolator(classification_dict=CLASSIFICATION_DICT)
+    half = n // 2
+    logits = np.ones((1, half, 3), np.float32)
+    itp.store_predictions(logits, [np.arange(half)])
+    with _propagating_log(), caplog.at_level(logging.WARNING):
+        itp.reduce_predictions_and_save(src, str(tmp_path / "out"))
+    msgs = [r.message for r in caplog.records]
+    assert any("not covered" in m and f"{n - half}/{n}" in m for m in msgs)
 
 
 def test_reduce_and_save_las(tmp_path):

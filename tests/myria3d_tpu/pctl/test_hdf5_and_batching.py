@@ -84,7 +84,14 @@ def test_all_filtered_las_marked_complete(tmp_path, toy_las_path):
 def test_bucket_size():
     assert bucket_size(1, (512, 1024)) == 512
     assert bucket_size(513, (512, 1024)) == 1024
-    assert bucket_size(9999, (512, 1024)) == 1024  # capped
+    # grows past the ladder top instead of truncating (ADVICE r1)
+    assert bucket_size(9999, (512, 1024)) == 1024 + 16384
+    assert bucket_size(1024 + 16384, (512, 1024)) == 1024 + 16384
+    assert bucket_size(1024 + 16385, (512, 1024)) == 1024 + 2 * 16384
+    from myria3d_tpu.pctl.batching import DEFAULT_FULL_BUCKETS
+    n = 200_000  # denser than the top full bucket (131072)
+    grown = bucket_size(n, DEFAULT_FULL_BUCKETS)
+    assert grown >= n and grown % 128 == 0
 
 
 def _mk_sample(n, f=4):
