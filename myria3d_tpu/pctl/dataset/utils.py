@@ -102,6 +102,34 @@ def get_las_metadata(las_path: str) -> Dict:
     }
 
 
+def _axis_window_membership(
+    coord: np.ndarray, centers: np.ndarray, radius: float, stride: float
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Vectorized: which mosaic windows along one axis contain each point.
+
+    Window k spans ``[centers[k] - radius, centers[k] + radius]`` (inclusive,
+    like the reference's Chebyshev ball query). Candidate k come from integer
+    division with ±1 slack, then each candidate is validated with the exact
+    ``|coord - center| <= radius`` test so boundary behavior is bit-identical
+    to the per-center scan.
+
+    Returns (k_candidates (N, C) int64, valid (N, C) bool, C).
+    """
+    n_k = len(centers)
+    first = centers[0]
+    # smallest candidate k: floor() is <= the true ceil()-based k_min, so
+    # starting there plus count slack +2 covers fp boundary cases
+    k_lo = np.floor((coord - first - radius) / stride).astype(np.int64)
+    c = int(np.floor(2 * radius / stride)) + 2
+    ks = k_lo[:, None] + np.arange(c)[None, :]           # (N, C)
+    in_range = (ks >= 0) & (ks < n_k)
+    ks_safe = np.clip(ks, 0, n_k - 1)
+    valid = in_range & (
+        np.abs(coord[:, None] - centers[ks_safe]) <= radius
+    )
+    return ks_safe, valid, c
+
+
 def split_cloud_into_samples(
     las_path: str,
     tile_width: Number,
@@ -115,21 +143,67 @@ def split_cloud_into_samples(
     Semantics of reference ``utils.py:126-158``: centers from
     ``get_mosaic_of_centers`` relative to the cloud's XY min; a subtile is all
     points within Chebyshev radius ``subtile_width // 2`` of a center; empty
-    subtiles are skipped.
+    subtiles are skipped, in x-major center order.
+
+    Unlike the reference's per-center cKDTree query (one full scan per
+    center), membership is computed in a single vectorized pass: each point
+    lists the few windows it falls in, and one lexsort groups points by
+    window — O(N·C log(N·C)) with C = windows per point (1 with no overlap,
+    4 at overlap = width/2) instead of O(N·centers).
     """
     if points is None:
         points, _ = read_las_array_as_float32(las_path, epsg)
     xy = np.stack([points["X"], points["Y"]], axis=1).astype(np.float64)
     xy_rel = xy - xy.min(axis=0)
 
+    if subtile_overlap < 0:
+        raise ValueError("datamodule.subtile_overlap must be positive.")
     radius = subtile_width // 2
-    for center in get_mosaic_of_centers(tile_width, subtile_width, subtile_overlap):
-        in_tile = (np.abs(xy_rel[:, 0] - center[0]) <= radius) & (
-            np.abs(xy_rel[:, 1] - center[1]) <= radius
+    stride = subtile_width - subtile_overlap
+    centers_1d = np.arange(
+        subtile_width / 2,
+        tile_width + (subtile_width / 2) - subtile_overlap,
+        step=stride,
+    )
+    n_k = len(centers_1d)
+
+    # chunk the combo expansion so peak memory stays ~O(block * C^2)
+    n = xy_rel.shape[0]
+    block = 4_000_000
+    win_parts: List[np.ndarray] = []
+    pts_parts: List[np.ndarray] = []
+    for s in range(0, n, block):
+        sl = slice(s, min(s + block, n))
+        kx, vx, cx = _axis_window_membership(
+            xy_rel[sl, 0], centers_1d, radius, stride
         )
-        sample_idx = np.flatnonzero(in_tile)
-        if not len(sample_idx):
-            continue
+        ky, vy, cy = _axis_window_membership(
+            xy_rel[sl, 1], centers_1d, radius, stride
+        )
+        nb = kx.shape[0]
+        # (point, window-x, window-y) combos: flat window id, x-major to
+        # match get_mosaic_of_centers order
+        win = (kx[:, :, None] * n_k + ky[:, None, :]).reshape(nb, cx * cy)
+        ok = (vx[:, :, None] & vy[:, None, :]).reshape(nb, cx * cy)
+        point_idx = np.broadcast_to(
+            np.arange(s, s + nb, dtype=np.int64)[:, None], win.shape
+        )
+        win_parts.append(win[ok])
+        pts_parts.append(point_idx[ok])
+    win_flat = np.concatenate(win_parts)
+    pts_flat = np.concatenate(pts_parts)
+    del win_parts, pts_parts
+    if win_flat.size == 0:
+        return
+    # group by window, points ascending within each window
+    order = np.lexsort((pts_flat, win_flat))
+    win_sorted = win_flat[order]
+    pts_sorted = pts_flat[order]
+    boundaries = np.flatnonzero(np.diff(win_sorted)) + 1
+    starts = np.concatenate([[0], boundaries])
+    ends = np.concatenate([boundaries, [len(win_sorted)]])
+    for s, e in zip(starts, ends):
+        sample_idx = pts_sorted[s:e]
         yield sample_idx, points[sample_idx]
 
 

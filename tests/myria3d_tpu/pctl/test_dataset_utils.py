@@ -49,6 +49,42 @@ def test_split_cloud_into_samples(toy_las_path):
     assert 60_000 <= total <= 61_000
 
 
+@pytest.mark.parametrize("overlap", [0, 25])
+def test_binned_split_matches_per_center_scan(overlap):
+    """The single-pass binning must reproduce the per-center Chebyshev scan
+    bit-for-bit: same non-empty windows, same center order, same sorted
+    point indices per window."""
+    rng = np.random.default_rng(11)
+    n = 20_000
+    pts = np.zeros(n, dtype=[("X", "<f8"), ("Y", "<f8"), ("Z", "<f8")])
+    # georeferenced offsets + some points exactly on window boundaries
+    pts["X"] = 862000.0 + rng.uniform(0, 110, n)
+    pts["Y"] = 6652000.0 + rng.uniform(0, 110, n)
+    pts["X"][:100] = 862000.0 + rng.integers(0, 3, 100) * 50.0
+    pts["Y"][:100] = 6652000.0 + rng.integers(0, 3, 100) * 50.0
+    pts["Z"] = rng.uniform(0, 30, n)
+
+    got = list(split_cloud_into_samples(
+        "unused", 110, 50, epsg=None, subtile_overlap=overlap, points=pts))
+
+    # oracle: reference-style per-center scan
+    xy = np.stack([pts["X"], pts["Y"]], axis=1)
+    xy_rel = xy - xy.min(axis=0)
+    radius = 50 // 2
+    expected = []
+    for center in get_mosaic_of_centers(110, 50, overlap):
+        in_tile = (np.abs(xy_rel[:, 0] - center[0]) <= radius) & (
+            np.abs(xy_rel[:, 1] - center[1]) <= radius)
+        idx = np.flatnonzero(in_tile)
+        if len(idx):
+            expected.append(idx)
+
+    assert len(got) == len(expected)
+    for (gidx, gpts), eidx in zip(got, expected):
+        np.testing.assert_array_equal(gidx, eidx)
+        assert len(gpts) == len(eidx)
+
+
 def test_pre_filter():
     assert pre_filter_below_n_points({"pos": np.zeros((0, 3))})
     assert not pre_filter_below_n_points({"pos": np.zeros((5, 3))})
