@@ -1,8 +1,11 @@
 """Datamodule feeding fixed-shape padded batches to the train/eval/predict loops.
 
 Re-design of reference ``myria3d/pctl/datamodule/hdf5.py:24-189`` without
-Lightning: owns dataset preparation, per-phase transform composition
-(preparations + normalizations + augmentations), and the four loaders.
+Lightning. Transform lists compose per phase into validity-guarded
+pipelines (train = preparations + normalizations + augmentations;
+eval/predict = preparations + normalizations), the HDF5 cache is built
+lazily once, and every loader comes out of one padded-loader factory with
+TPU-bucketed point counts.
 """
 
 from __future__ import annotations
@@ -65,114 +68,148 @@ class HDF5LidarDataModule:
         self.num_workers = num_workers
         self.prefetch_factor = prefetch_factor
 
+        # phase → ordered transform stages, composed lazily below
         t = transforms or {}
-        self.preparation_train_transform: TRANSFORMS_LIST = t.get("preparations_train_list", [])
-        self.preparation_eval_transform: TRANSFORMS_LIST = t.get("preparations_eval_list", [])
-        self.preparation_predict_transform: TRANSFORMS_LIST = t.get(
-            "preparations_predict_list", []
-        )
-        self.augmentation_transform: TRANSFORMS_LIST = t.get("augmentations_list", [])
-        self.normalization_transform: TRANSFORMS_LIST = t.get("normalizations_list", [])
+        self._stages: Dict[str, TRANSFORMS_LIST] = {
+            "train": list(t.get("preparations_train_list", [])),
+            "eval": list(t.get("preparations_eval_list", [])),
+            "predict": list(t.get("preparations_predict_list", [])),
+            "normalize": list(t.get("normalizations_list", [])),
+            "augment": list(t.get("augmentations_list", [])),
+        }
 
-        if bucketing:
-            cap = padded_num_points
-            if cap is None:
-                cap = self._infer_point_cap() or DEFAULT_BUCKETS[-1]
-            self.buckets = tuple(b for b in DEFAULT_BUCKETS if b < cap) + (
-                _round_up_128(cap),
-            )
-        else:
-            cap = padded_num_points or self._infer_point_cap() or DEFAULT_BUCKETS[-1]
-            self.buckets = (_round_up_128(cap),)
+        self.buckets = self._build_buckets(bool(bucketing), padded_num_points)
 
-    def _infer_point_cap(self) -> Optional[int]:
-        """Use the MaximumNumNodes/FixedPoints transform cap as the pad cap."""
-        for tr in (
-            self.preparation_train_transform
-            + self.preparation_eval_transform
-            + self.preparation_predict_transform
-        ):
-            num = getattr(tr, "num", None)
-            if num is not None and type(tr).__name__ in ("MaximumNumNodes", "FixedPoints"):
-                return int(num)
-        return None
+    # ------------------------------------------------------------------
+    # Transforms
+    # ------------------------------------------------------------------
+
+    def _pipeline(self, phase: str) -> CustomCompose:
+        stages = self._stages[phase] + self._stages["normalize"]
+        if phase == "train":
+            stages = stages + self._stages["augment"]
+        return CustomCompose(stages)
 
     @property
     def train_transform(self) -> CustomCompose:
-        return CustomCompose(
-            self.preparation_train_transform
-            + self.normalization_transform
-            + self.augmentation_transform
-        )
+        return self._pipeline("train")
 
     @property
     def eval_transform(self) -> CustomCompose:
-        return CustomCompose(self.preparation_eval_transform + self.normalization_transform)
+        return self._pipeline("eval")
 
     @property
     def predict_transform(self) -> CustomCompose:
-        return CustomCompose(self.preparation_predict_transform + self.normalization_transform)
+        return self._pipeline("predict")
+
+    # Legacy attribute views (kept for callers/tests poking the raw lists)
+    @property
+    def preparation_train_transform(self) -> TRANSFORMS_LIST:
+        return self._stages["train"]
+
+    @property
+    def preparation_eval_transform(self) -> TRANSFORMS_LIST:
+        return self._stages["eval"]
+
+    @property
+    def preparation_predict_transform(self) -> TRANSFORMS_LIST:
+        return self._stages["predict"]
+
+    @property
+    def normalization_transform(self) -> TRANSFORMS_LIST:
+        return self._stages["normalize"]
+
+    @property
+    def augmentation_transform(self) -> TRANSFORMS_LIST:
+        return self._stages["augment"]
+
+    # ------------------------------------------------------------------
+    # Padded-shape buckets
+    # ------------------------------------------------------------------
+
+    def _build_buckets(self, bucketing: bool, padded_num_points: Optional[int]):
+        cap = padded_num_points or self._infer_point_cap() or DEFAULT_BUCKETS[-1]
+        top = _round_up_128(cap)
+        if not bucketing:
+            return (top,)
+        return tuple(b for b in DEFAULT_BUCKETS if b < top) + (top,)
+
+    def _infer_point_cap(self) -> Optional[int]:
+        """Use the MaximumNumNodes/FixedPoints transform cap as the pad cap."""
+        for phase in ("train", "eval", "predict"):
+            for tr in self._stages[phase]:
+                num = getattr(tr, "num", None)
+                if num is not None and type(tr).__name__ in (
+                    "MaximumNumNodes",
+                    "FixedPoints",
+                ):
+                    return int(num)
+        return None
+
+    # ------------------------------------------------------------------
+    # Dataset lifecycle
+    # ------------------------------------------------------------------
 
     def prepare_data(self, stage: Optional[str] = None) -> None:
-        """Prepare the HDF5 dataset (process-0 work in multi-host setups)."""
-        if stage in ["fit", "test"] or stage is None:
-            if self.split_csv_path and self.data_dir:
-                self.las_paths_by_split_dict = get_las_paths_by_split_dict(
-                    self.data_dir, self.split_csv_path
-                )
-            else:
-                self.las_paths_by_split_dict = None
-        self.dataset  # noqa: B018 — builds the HDF5 file
+        """Build the HDF5 cache (process-0 work in multi-host setups)."""
+        if stage in ("fit", "test", None) and self.split_csv_path and self.data_dir:
+            self.las_paths_by_split_dict = get_las_paths_by_split_dict(
+                self.data_dir, self.split_csv_path
+            )
+        self.dataset  # noqa: B018 — triggers the build
 
     def setup(self, stage: Optional[str] = None) -> None:
         self.dataset  # noqa: B018
 
     @property
     def dataset(self) -> HDF5Dataset:
-        if self._dataset:
-            return self._dataset
-        self._dataset = HDF5Dataset(
-            self.hdf5_file_path,
-            self.epsg,
-            las_paths_by_split_dict=self.las_paths_by_split_dict,
-            points_pre_transform=self.points_pre_transform,
-            tile_width=self.tile_width,
-            subtile_width=self.subtile_width,
-            subtile_overlap_train=self.subtile_overlap_train,
-            pre_filter=self.pre_filter,
-            train_transform=self.train_transform,
-            eval_transform=self.eval_transform,
-        )
+        if self._dataset is None:
+            self._dataset = HDF5Dataset(
+                self.hdf5_file_path,
+                self.epsg,
+                las_paths_by_split_dict=self.las_paths_by_split_dict,
+                points_pre_transform=self.points_pre_transform,
+                tile_width=self.tile_width,
+                subtile_width=self.subtile_width,
+                subtile_overlap_train=self.subtile_overlap_train,
+                pre_filter=self.pre_filter,
+                train_transform=self.train_transform,
+                eval_transform=self.eval_transform,
+            )
         return self._dataset
 
-    def train_dataloader(self, seed: Optional[int] = None) -> PaddedBatchLoader:
+    # ------------------------------------------------------------------
+    # Loaders — one factory, four phases
+    # ------------------------------------------------------------------
+
+    def _loader(
+        self,
+        data,
+        shuffle: bool = False,
+        num_workers: Optional[int] = None,
+        seed: Optional[int] = None,
+    ) -> PaddedBatchLoader:
         return PaddedBatchLoader(
-            self.dataset.traindata,
+            data,
             batch_size=self.batch_size,
-            shuffle=True,
-            num_workers=self.num_workers,
+            shuffle=shuffle,
+            num_workers=self.num_workers if num_workers is None else num_workers,
             prefetch_factor=self.prefetch_factor,
             buckets=self.buckets,
             seed=seed,
         )
 
+    def train_dataloader(self, seed: Optional[int] = None) -> PaddedBatchLoader:
+        return self._loader(self.dataset.traindata, shuffle=True, seed=seed)
+
     def val_dataloader(self) -> PaddedBatchLoader:
-        return PaddedBatchLoader(
-            self.dataset.valdata,
-            batch_size=self.batch_size,
-            num_workers=self.num_workers,
-            prefetch_factor=self.prefetch_factor,
-            buckets=self.buckets,
-        )
+        return self._loader(self.dataset.valdata)
 
     def test_dataloader(self) -> PaddedBatchLoader:
-        return PaddedBatchLoader(
-            self.dataset.testdata,
-            batch_size=self.batch_size,
-            num_workers=1,
-            prefetch_factor=self.prefetch_factor,
-            buckets=self.buckets,
-        )
+        return self._loader(self.dataset.testdata, num_workers=1)
+
+    def predict_dataloader(self) -> PaddedBatchLoader:
+        return self._loader(self.predict_dataset, num_workers=1)
 
     def _set_predict_data(self, las_file_to_predict: str) -> None:
         self.predict_dataset = InferenceDataset(
@@ -185,16 +222,6 @@ class HDF5LidarDataModule:
             subtile_width=self.subtile_width,
             subtile_overlap=self.subtile_overlap_predict,
         )
-
-    def predict_dataloader(self) -> PaddedBatchLoader:
-        return PaddedBatchLoader(
-            self.predict_dataset,
-            batch_size=self.batch_size,
-            num_workers=1,
-            prefetch_factor=self.prefetch_factor,
-            buckets=self.buckets,
-        )
-
 
     def _visualize_graph(self, data: dict, color: Optional[str] = None) -> None:
         """Debug 3-D scatter of one sample (reference ``_visualize_graph``,
@@ -209,9 +236,7 @@ class HDF5LidarDataModule:
         fig = plt.figure()
         ax = fig.add_subplot(projection="3d")
         pos = data["pos"]
-        c = None
-        if color == "y" and "y" in data:
-            c = data["y"]
+        c = data["y"] if color == "y" and "y" in data else None
         ax.scatter(pos[:, 0], pos[:, 1], pos[:, 2], s=1, c=c)
         plt.show()
 

@@ -1,8 +1,12 @@
 """Streaming inference dataset over a single LAS file.
 
-Reimplements reference ``myria3d/pctl/dataset/iterable.py:16-76``: yields
-transformed subtile samples from one LAS in an exhaustive mosaic, keeping
-``idx_in_original_cloud`` per sample for final interpolation.
+Same role as the reference ``InferenceDataset``
+(``myria3d/pctl/dataset/iterable.py:16-76``) — yield transformed subtile
+samples from one tile's exhaustive mosaic, keeping
+``idx_in_original_cloud`` for the final full-cloud interpolation — but
+implemented as a thin alias over the shared ``TileSampleStream`` pipeline,
+with the per-subtile cooking (feature engineering + GridSampling-heavy
+transform) mapped over a small thread pool.
 """
 
 from __future__ import annotations
@@ -10,15 +14,13 @@ from __future__ import annotations
 from numbers import Number
 from typing import Callable, Iterator, Optional
 
-from myria3d_tpu.pctl.dataset.utils import (
-    pre_filter_below_n_points,
-    split_cloud_into_samples,
-)
+from myria3d_tpu.pctl.dataset.tile_stream import TileSampleStream
+from myria3d_tpu.pctl.dataset.utils import pre_filter_below_n_points
 from myria3d_tpu.pctl.points_pre_transform.lidar_hd import lidar_hd_pre_transform
 
 
-class InferenceDataset:
-    """Iterable dataset to load subtile samples from a single LAS file."""
+class InferenceDataset(TileSampleStream):
+    """Iterable of cooked subtile samples from one LAS file."""
 
     def __init__(
         self,
@@ -30,37 +32,20 @@ class InferenceDataset:
         tile_width: Number = 1000,
         subtile_width: Number = 50,
         subtile_overlap: Number = 0,
+        workers: int = 3,
     ):
-        self.las_file = las_file
-        self.epsg = epsg
-        self.points_pre_transform = points_pre_transform
-        self.pre_filter = pre_filter
-        self.transform = transform
-        self.tile_width = tile_width
-        self.subtile_width = subtile_width
-        self.subtile_overlap = subtile_overlap
+        super().__init__(
+            las_file,
+            epsg,
+            tile_width,
+            subtile_width,
+            subtile_overlap,
+            points_pre_transform,
+            pre_filter=pre_filter,
+            transform=transform,
+            workers=workers,
+        )
 
-    def __iter__(self) -> Iterator[dict]:
-        return self.get_iterator()
-
+    # kept for callers that iterate explicitly (reference API)
     def get_iterator(self) -> Iterator[dict]:
-        """Yield subtiles from the tile in an exhaustive fashion."""
-        for idx_in_original_cloud, sample_points in split_cloud_into_samples(
-            self.las_file,
-            self.tile_width,
-            self.subtile_width,
-            self.epsg,
-            self.subtile_overlap,
-        ):
-            sample_data = self.points_pre_transform(sample_points)
-            sample_data["idx_in_original_cloud"] = idx_in_original_cloud
-
-            if self.pre_filter and self.pre_filter(sample_data):
-                continue
-            if self.transform:
-                sample_data = self.transform(sample_data)
-            if sample_data is None:
-                continue
-            if self.pre_filter and self.pre_filter(sample_data):
-                continue
-            yield sample_data
+        return iter(self)

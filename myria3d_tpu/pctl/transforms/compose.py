@@ -1,24 +1,33 @@
-"""None-propagating transform composition (reference ``pctl/transforms/compose.py:6-28``)."""
+"""Validity-guarded transform composition.
 
-from typing import Callable, List
+Role of the reference ``CustomCompose`` (``pctl/transforms/compose.py``):
+chain sample transforms and propagate ``None`` as soon as a sample dies
+(a transform returned None or emptied the point set). Implemented as a
+per-item fold — equivalent for the pure per-sample transforms used here,
+and list inputs are normalized up front instead of re-checked at every
+stage.
+"""
+
+from typing import Callable, Sequence
+
+
+def _alive(data) -> bool:
+    return data is not None and data["pos"].shape[0] > 0
 
 
 class CustomCompose:
-    """Composes transforms; short-circuits to ``None`` if any transform
-    empties the sample or returns ``None``."""
+    def __init__(self, transforms: Sequence[Callable]):
+        self.transforms = list(transforms)
 
-    def __init__(self, transforms: List[Callable]):
-        self.transforms = transforms
+    def _fold(self, data):
+        for transform in self.transforms:
+            data = transform(data)
+            if not _alive(data):
+                return None
+        return data
 
     def __call__(self, data):
-        for transform in self.transforms:
-            if isinstance(data, (list, tuple)):
-                data = [transform(d) for d in data]
-                data = [d for d in data if d is not None and d["pos"].shape[0] != 0]
-                if len(data) == 0:
-                    return None
-            else:
-                data = transform(data)
-                if data is None or data["pos"].shape[0] == 0:
-                    return None
-        return data
+        if not isinstance(data, (list, tuple)):
+            return self._fold(data)
+        survivors = [out for out in map(self._fold, data) if out is not None]
+        return survivors or None
