@@ -14,6 +14,7 @@ Masking follows the 4th-coordinate convention of ``ops.knn``: pad keys sit
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Tuple
 
@@ -141,11 +142,33 @@ def nearest_neighbor_pallas(
     return idx[:, :nq], d2[:, :nq]
 
 
-def nn1_available() -> bool:
-    """The kernel targets single-chip TPU (CPU tests use the dense path;
-    under a multi-chip mesh the dense path partitions cleanly with GSPMD
-    while a vmapped pallas_call may not)."""
+# Tracing-time override: inside a shard_map-wrapped step every device runs
+# the kernel on its local shard, so the single-chip gate below must not
+# disable it (set by myria3d_tpu.parallel.sharded_interp_step).
+_PER_SHARD_TRACING = False
+
+
+@contextlib.contextmanager
+def per_shard_context():
+    """Mark that tracing happens per device (inside shard_map)."""
+    global _PER_SHARD_TRACING
+    prev = _PER_SHARD_TRACING
+    _PER_SHARD_TRACING = True
     try:
-        return jax.default_backend() == "tpu" and jax.device_count() == 1
+        yield
+    finally:
+        _PER_SHARD_TRACING = prev
+
+
+def nn1_available() -> bool:
+    """Use the Pallas kernel on TPU when each program instance owns its
+    whole (local) batch: single chip, or per-shard inside shard_map. Under
+    plain GSPMD jit over a multi-chip mesh the dense path partitions
+    cleanly while a vmapped pallas_call may not, so it stays off there.
+    CPU/GPU always use the dense path."""
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+        return _PER_SHARD_TRACING or jax.device_count() == 1
     except Exception:
         return False

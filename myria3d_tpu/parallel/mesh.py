@@ -102,13 +102,44 @@ def sharded_eval_step(model, mesh: Mesh) -> Callable:
 
 
 def sharded_interp_step(model, mesh: Mesh) -> Callable:
+    """Full-cloud inference step over the mesh via ``shard_map``.
+
+    The step is perfectly batch-parallel (per-subtile logits, no cross-
+    sample reduction), so each device runs the *whole* per-shard step on
+    its local batch slice. Unlike GSPMD partitioning of the step, this
+    keeps the fused Pallas k=1 kernel usable — every program instance owns
+    its local shard (``ops.pallas_nn1.per_shard_context``)."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from myria3d_tpu.ops import pallas_nn1
+
     repl, data = _shardings(mesh)
     step = model.build_interp_step()
-    return jax.jit(
+    smapped = shard_map(
         step,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                  P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=P(DATA_AXIS),
+    )
+    jitted = jax.jit(
+        smapped,
         in_shardings=(repl, data, data, data, data, data, data, repl),
         out_shardings=data,
     )
+
+    def call(state, x, pos, mask, sampled_pos, full_pos, full_mask, rng):
+        # tracing happens on first call — mark it per-shard so the Pallas
+        # nearest-neighbor gate stays on for TPU shards
+        with pallas_nn1.per_shard_context():
+            return jitted(
+                state, x, pos, mask, sampled_pos, full_pos, full_mask, rng
+            )
+
+    return call
 
 
 class ParallelSteps:

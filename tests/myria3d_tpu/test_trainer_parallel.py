@@ -91,6 +91,54 @@ def test_fit_and_test_on_mesh(tmp_path):
     assert "test/iou" in out
 
 
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs a multi-device mesh")
+def test_interp_step_on_mesh_matches_single_device():
+    """sharded_interp_step (shard_map) must equal the single-device
+    interp_step on the same inputs — data-parallel predict correctness."""
+    from myria3d_tpu.parallel import (
+        make_mesh,
+        replicate_to_mesh,
+        shard_batch,
+        sharded_interp_step,
+    )
+
+    model = _model()
+    rng = np.random.default_rng(5)
+    m_full = 512
+    batch = _batch(4)
+    state = model.init_state(jax.random.PRNGKey(0), batch.device_arrays())
+    full_pos = rng.uniform(-1, 1, (B, m_full, 3)).astype(np.float32)
+    full_mask = np.ones((B, m_full), bool)
+    full_mask[:, 480:] = False
+    key = jax.random.PRNGKey(3)
+
+    # per-shard reference: with a 4-device mesh each device owns one row,
+    # so the sharded step must equal single-device runs on each row alone
+    # (same rng key, same local shapes → same decimation noise)
+    ref = np.concatenate([
+        np.asarray(model.interp_step(
+            state, batch.x[i:i + 1], batch.pos[i:i + 1], batch.mask[i:i + 1],
+            batch.pos[i:i + 1], full_pos[i:i + 1], full_mask[i:i + 1], key,
+        ))
+        for i in range(B)
+    ])
+
+    mesh = make_mesh(4)
+    pstate = replicate_to_mesh(state, mesh)
+    arrays = shard_batch(
+        {"x": batch.x, "pos": batch.pos, "mask": batch.mask,
+         "sampled_pos": batch.pos, "full_pos": full_pos,
+         "full_mask": full_mask}, mesh,
+    )
+    out = np.asarray(sharded_interp_step(model, mesh)(
+        pstate, arrays["x"], arrays["pos"], arrays["mask"],
+        arrays["sampled_pos"], arrays["full_pos"], arrays["full_mask"], key,
+    ))
+    assert out.shape == (B, m_full, C)
+    # same rng stream + batch-parallel step → identical logits
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
 def test_single_device_fallback_when_batch_indivisible():
     from myria3d_tpu.parallel import auto_parallel
 
