@@ -83,6 +83,15 @@ class Model:
 
         optimizer_factory = optimizer if optimizer is not None else adam
         tx = optimizer_factory(lr=self.lr)
+        # Per-step schedulers (OneCycle) fuse into the optimizer as an optax
+        # schedule — the device computes the per-step scale from its own
+        # update count, removing the per-step host->device LR write.
+        self.per_step_schedule_fused = False
+        if lr_scheduler is not None:
+            probe = lr_scheduler()
+            if getattr(probe, "per_step", False) and hasattr(probe, "optax_schedule"):
+                tx = optax.chain(tx, optax.scale_by_schedule(probe.optax_schedule()))
+                self.per_step_schedule_fused = True
         if accumulate_grad_batches and accumulate_grad_batches > 1:
             # Reference gradient accumulation (``accumulate_grad_batches: 3``)
             # via optax MultiSteps — params update every k micro-batches.

@@ -167,6 +167,19 @@ class OneCycleLR:
     def per_step(self) -> bool:
         return True
 
+    def optax_schedule(self) -> optax.Schedule:
+        """Device-side equivalent: fused into the optimizer via
+        ``optax.scale_by_schedule`` so per-step LR control needs no host
+        mutation or transfer (the host object remains only for LR-monitor
+        display)."""
+        return optax.cosine_onecycle_schedule(
+            transition_steps=self.total_steps,
+            peak_value=1.0,
+            pct_start=self.pct_start,
+            div_factor=self.div_factor,
+            final_div_factor=self.final_div_factor,
+        )
+
     def state_dict(self) -> dict:
         return {"_step": self._step, "scale": self.scale}
 

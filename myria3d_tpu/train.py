@@ -144,7 +144,11 @@ class Trainer:
 
         scheduler = self._scheduler_for(model)
         per_step_sched = bool(getattr(scheduler, "per_step", False))
-        if per_step_sched:
+        # per-step schedules are fused into the optimizer as an optax
+        # schedule (models/optimizers.py); the host object only tracks the
+        # scale for LR-monitor display
+        sched_fused = bool(getattr(model, "per_step_schedule_fused", False))
+        if per_step_sched and not sched_fused:
             # OneCycle starts at max_lr / div_factor, not max_lr
             self._apply_lr(model, scheduler.scale)
         step_rng = jax.random.fold_in(rng, 1)
@@ -182,8 +186,9 @@ class Trainer:
                     self.state.params, epoch
                 )
 
-            # ---- train epoch
-            train_losses: List[float] = []
+            # ---- train epoch (losses stay on device; fetched at the log
+            # cadence and once at epoch end — no per-step host sync)
+            train_losses: List[Any] = []
             iterator: Iterable = (
                 overfit_batches
                 if overfit_batches is not None
@@ -222,7 +227,7 @@ class Trainer:
                             arrays["y"], arrays["mask"], step_rng, lr_mult,
                         )
                     self.global_step += 1
-                    train_losses.append(float(loss))
+                    train_losses.append(loss)
                     if self.metrics is not None:
                         self.metrics.update(
                             "train", logits, arrays["y"], arrays["mask"]
@@ -234,11 +239,16 @@ class Trainer:
                                 model.lr * getattr(scheduler, "scale", 1.0)))
                         self._log(row)
                     if per_step_sched:
-                        self._apply_lr(model, scheduler.step())
+                        scale = scheduler.step()  # host bookkeeping (display)
+                        if not sched_fused:
+                            self._apply_lr(model, scale)
 
             epoch_metrics: Dict[str, float] = {
                 "epoch": float(epoch),
-                "train/loss_epoch": float(np.mean(train_losses)) if train_losses else float("nan"),
+                "train/loss_epoch": (
+                    float(np.mean(jax.device_get(train_losses)))
+                    if train_losses else float("nan")
+                ),
             }
             if self.metrics is not None:
                 self._log_confusion_matrix("train", epoch)
@@ -278,7 +288,7 @@ class Trainer:
     def _val_epoch(self, model: Model, datamodule, rng, limit=None,
                    log_prefix: Optional[str] = "val", overfit_batches=None
                    ) -> Dict[str, float]:
-        losses: List[float] = []
+        losses: List[Any] = []
         iterator: Iterable = (
             overfit_batches
             if overfit_batches is not None
@@ -293,13 +303,15 @@ class Trainer:
                 self.state, arrays["x"], arrays["pos"], arrays["y"],
                 arrays["mask"], rng,
             )
-            losses.append(float(loss))
+            losses.append(loss)
             if self.metrics is not None and log_prefix:
                 self.metrics.update(log_prefix, logits, arrays["y"], arrays["mask"])
         if log_prefix is None:
             return {}
         out = {
-            f"{log_prefix}/loss_epoch": float(np.mean(losses)) if losses else float("nan")
+            f"{log_prefix}/loss_epoch": (
+                float(np.mean(jax.device_get(losses))) if losses else float("nan")
+            )
         }
         if self.metrics is not None:
             self._log_confusion_matrix(log_prefix)
@@ -341,7 +353,7 @@ class Trainer:
             self.par.interp_step if self.par is not None else model.interp_step
         )
 
-        losses: List[float] = []
+        losses: List[Any] = []
         for batch in _limited(datamodule.test_dataloader(), self.cfg.limit_test_batches):
             if batch is None:
                 continue
@@ -354,7 +366,7 @@ class Trainer:
                     state, arrays["x"], arrays["pos"], arrays["y"],
                     arrays["mask"], rng,
                 )
-                losses.append(float(loss))
+                losses.append(loss)
                 if self.metrics is not None:
                     self.metrics.update("test", logits, arrays["y"], arrays["mask"])
                 continue
@@ -368,12 +380,16 @@ class Trainer:
                 sampled_pos, placed["full_pos"], placed["full_mask"], rng,
             )
             loss = model.criterion(full_logits, full["full_y"])
-            losses.append(float(loss))
+            losses.append(loss)
             if self.metrics is not None:
                 self.metrics.update(
                     "test", full_logits, full["full_y"], full["full_mask"]
                 )
-        out = {"test/loss_epoch": float(np.mean(losses)) if losses else float("nan")}
+        out = {
+            "test/loss_epoch": (
+                float(np.mean(jax.device_get(losses))) if losses else float("nan")
+            )
+        }
         if self.metrics is not None:
             self._log_confusion_matrix("test")
             out.update(self.metrics.compute_and_reset("test"))

@@ -109,6 +109,49 @@ def test_one_cycle_shape():
     assert sch.per_step
 
 
+def test_one_cycle_optax_schedule_matches_host_scale():
+    """The fused device-side schedule must trace the host object's curve
+    exactly (the host object is only kept for LR-monitor display)."""
+    sch = OneCycleLR(epochs=2, steps_per_epoch=50, pct_start=0.3,
+                     div_factor=10, final_div_factor=1000)
+    f = sch.optax_schedule()
+    for t in (0, 5, 15, 30, 50, 80, 99, 100):
+        np.testing.assert_allclose(float(f(t)), sch.scale_at(t), rtol=1e-5,
+                                   atol=1e-7)
+
+
+def test_per_step_schedule_fused_into_optimizer():
+    """A Model built with a OneCycle factory folds it into the optimizer:
+    two steps with identical grads produce different update magnitudes
+    (the schedule scales on device, no host LR writes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from myria3d_tpu.models.model import Model
+
+    model = Model(
+        neural_net_class_name="RandLANet",
+        neural_net_hparams=dict(num_features=3, num_classes=2,
+                                num_neighbors=4, decimation=4,
+                                return_logits=True),
+        lr=0.01,
+        lr_scheduler=lambda: OneCycleLR(epochs=1, steps_per_epoch=10,
+                                        pct_start=0.3, div_factor=10,
+                                        final_div_factor=100),
+    )
+    assert model.per_step_schedule_fused
+    params = {"w": jnp.ones(3)}
+    opt_state = model.tx.init(params)
+    grads = {"w": jnp.ones(3)}
+    sch = OneCycleLR(epochs=1, steps_per_epoch=10, pct_start=0.3,
+                     div_factor=10, final_div_factor=100)
+    for t in range(3):
+        updates, opt_state = model.tx.update(grads, opt_state, params)
+        got = float(jnp.abs(updates["w"][0]))
+        want = 0.01 * sch.scale_at(t)  # adam dir magnitude 1 for const grads
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
 def test_metrics_from_cm():
     cm = np.array([[5, 1], [2, 8]], dtype=float)
     m = metrics_from_confusion_matrix(cm, {0: "a", 1: "b"}, prefix="val/")
