@@ -127,6 +127,12 @@ class CometLogger:
         if self.experiment is not None:
             self.experiment.log_code(folder=root)
 
+    def log_logs_path(self, logs_dir: str) -> None:
+        """Record the run's logs directory as an experiment parameter
+        (reference ``LogLogsPath``, ``comet_callbacks.py:55-60``)."""
+        if self.experiment is not None:
+            self.experiment.log_parameter("experiment_logs_dirpath", logs_dir)
+
     def finalize(self) -> None:
         if self.experiment is not None:
             self.experiment.end()

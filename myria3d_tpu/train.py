@@ -118,6 +118,19 @@ class Trainer:
 
     def fit(self, model: Model, datamodule, ckpt_path: Optional[str] = None,
             finetune: bool = False) -> TrainState:
+        # train-start logging hooks (reference LogCode/LogLogsPath callbacks,
+        # comet_callbacks.py:42-60): upload source + record the logs dir
+        if self.logger is not None:
+            if hasattr(self.logger, "log_code"):
+                import myria3d_tpu
+
+                self.logger.log_code(
+                    os.path.dirname(os.path.abspath(myria3d_tpu.__file__))
+                )
+            if hasattr(self.logger, "log_logs_path"):
+                self.logger.log_logs_path(
+                    os.environ.get("LOGS_DIR", os.getcwd())
+                )
         datamodule.prepare_data()
         datamodule.setup("fit")
         rng = jax.random.PRNGKey(self.seed)

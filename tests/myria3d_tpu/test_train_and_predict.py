@@ -24,7 +24,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def run_cli(args, cwd, extra_env=None):
+def run_cli(args, cwd, extra_env=None, expect_failure=False):
     env = {
         **os.environ,
         "JAX_PLATFORMS": "cpu",
@@ -42,6 +42,12 @@ def run_cli(args, cwd, extra_env=None):
         [sys.executable, os.path.join(REPO_ROOT, "run.py"), *args],
         cwd=cwd, env=env, capture_output=True, text=True, timeout=3600,
     )
+    if expect_failure:
+        assert result.returncode != 0, (
+            f"run.py {' '.join(args)} unexpectedly succeeded:\n"
+            f"STDOUT:\n{result.stdout[-2000:]}"
+        )
+        return result
     if result.returncode != 0:
         raise AssertionError(
             f"run.py {' '.join(args)} failed ({result.returncode}):\n"
@@ -157,6 +163,44 @@ def test_predict_with_subtile_overlap(
     src = read_las(toy_las_path)
     assert len(out.points) == len(src.points)
     assert "PredictedClassification" in (out.points.dtype.names or ())
+
+
+def test_predict_no_epsg_fails_informatively(
+    tmp_path, one_epoch_trained_ckpt
+):
+    """Predicting a LAS without SRS and without datamodule.epsg must fail
+    with the informative EPSG error (reference
+    ``test_predict_on_single_file_invalid_epsg``,
+    ``tests/myria3d/test_train_and_predict.py:105-127``)."""
+    from myria3d_tpu.pctl.io.las import LasHeader, write_las
+
+    pts = np.zeros(64, dtype=[("X", "<f8"), ("Y", "<f8"), ("Z", "<f8"),
+                              ("Intensity", "<u2"), ("ReturnNumber", "u1"),
+                              ("NumberOfReturns", "u1"),
+                              ("Classification", "u1")])
+    pts["X"] = np.linspace(0, 40, 64)
+    pts["Y"] = np.linspace(0, 40, 64)
+    pts["ReturnNumber"] = 1
+    pts["NumberOfReturns"] = 1
+    pts["Classification"] = 1
+    src = str(tmp_path / "nosrs.las")
+    write_las(src, pts, LasHeader(point_format=3))
+
+    result = run_cli(
+        [
+            "--config-path", CONFIG_DIR,
+            "task.task_name=predict",
+            f"predict.src_las={src}",
+            f"predict.ckpt_path={one_epoch_trained_ckpt}",
+            f"predict.output_dir={tmp_path / 'out'}",
+            "datamodule.epsg=null",
+            "datamodule.batch_size=2",
+        ],
+        cwd=str(tmp_path),
+        expect_failure=True,
+    )
+    blob = result.stdout + result.stderr
+    assert "No EPSG provided" in blob
 
 
 def test_run_test_task_with_ckpt(

@@ -91,6 +91,35 @@ def test_fit_and_test_on_mesh(tmp_path):
     assert "test/iou" in out
 
 
+def test_fit_calls_code_and_logs_path_hooks(tmp_path):
+    """Loggers exposing log_code/log_logs_path are invoked at train start
+    (reference LogCode/LogLogsPath callbacks, comet_callbacks.py:42-60)."""
+
+    class RecordingLogger:
+        def __init__(self):
+            self.calls = []
+
+        def log_metrics(self, metrics, step=None):
+            pass
+
+        def log_code(self, root):
+            self.calls.append(("code", root))
+
+        def log_logs_path(self, path):
+            self.calls.append(("logs_path", path))
+
+    logger = RecordingLogger()
+    trainer = Trainer(
+        TrainerConfig(max_epochs=1, limit_train_batches=1, limit_val_batches=1),
+        logger=logger, seed=0,
+    )
+    trainer.fit(_model(), FakeDataModule())
+    kinds = [k for k, _ in logger.calls]
+    assert "code" in kinds and "logs_path" in kinds
+    code_root = dict(logger.calls)["code"]
+    assert code_root.endswith("myria3d_tpu")
+
+
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs a multi-device mesh")
 def test_interp_step_on_mesh_matches_single_device():
     """sharded_interp_step (shard_map) must equal the single-device
