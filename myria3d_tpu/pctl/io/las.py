@@ -7,9 +7,12 @@ header/VLR/SRS passthrough, and "extra bytes" dimensions for writing predicted
 classification / per-class probabilities / entropy back into new LAS dims.
 
 Point formats 0–3 (LAS 1.2/1.3) and 6–8 (LAS 1.4) are supported, plus
-arbitrary extra-bytes dimensions. LAZ (compressed) input is detected and
-rejected with a clear error (decompression is host-side C++ work tracked for a
-later round).
+arbitrary extra-bytes dimensions. LAZ is read AND written for point formats
+0–3 (+extra bytes) through the self-contained native LASzip codec
+(``pctl/native/laszip_native.cpp``: pointwise-chunked compressor, item
+version 2) — French Lidar HD's production distribution format. LAS 1.4
+layered LAZ (compressor 3, formats 6+) is detected and rejected with a
+clear error.
 
 This module is pure host-side I/O — it never touches the accelerator.
 """
@@ -182,6 +185,61 @@ def _is_laz(path: str, point_format_byte: int, vlrs: Sequence[LasVLR]) -> bool:
     return any(v.user_id.startswith("laszip") for v in vlrs)
 
 
+_LASZIP_USER_ID = "laszip encoded"
+_LASZIP_RECORD_ID = 22204
+# laszip VLR item types (spec): BYTE=0, POINT10=6, GPSTIME11=7, RGB12=8
+_LAZ_ITEMS_BY_FORMAT = {
+    0: [(6, 20)],
+    1: [(6, 20), (7, 8)],
+    2: [(6, 20), (8, 6)],
+    3: [(6, 20), (7, 8), (8, 6)],
+}
+
+
+def _parse_laszip_vlr(vlrs: Sequence[LasVLR]) -> Optional[dict]:
+    """Decode the 'laszip encoded' VLR (record 22204): compressor, chunk
+    size and the item list that define the compressed point stream."""
+    for v in vlrs:
+        if v.user_id == _LASZIP_USER_ID and v.record_id == _LASZIP_RECORD_ID:
+            d = v.data
+            if len(d) < 34:
+                raise ValueError("laszip VLR too short")
+            compressor, coder = struct.unpack_from("<HB", d, 0)
+            version = (d[3], d[4], struct.unpack_from("<H", d, 5)[0])
+            chunk_size, = struct.unpack_from("<i", d, 11)
+            num_items, = struct.unpack_from("<H", d, 32)
+            items = []
+            for k in range(num_items):
+                t, s, ver = struct.unpack_from("<HHH", d, 34 + 6 * k)
+                items.append((t, s, ver))
+            return {
+                "compressor": compressor,
+                "coder": coder,
+                "version": version,
+                "chunk_size": chunk_size,
+                "items": items,
+            }
+    return None
+
+
+def _make_laszip_vlr(point_format: int, extra_len: int, chunk_size: int) -> LasVLR:
+    """laszip VLR for a pointwise-chunked (compressor 2) item-version-2 file."""
+    items = list(_LAZ_ITEMS_BY_FORMAT[point_format])
+    if extra_len > 0:
+        items.append((0, extra_len))
+    d = bytearray(34 + 6 * len(items))
+    struct.pack_into("<HB", d, 0, 2, 0)          # compressor 2, arithmetic coder
+    d[3], d[4] = 2, 2                             # version 2.2
+    struct.pack_into("<H", d, 5, 0)               # revision
+    struct.pack_into("<I", d, 7, 0)               # options
+    struct.pack_into("<i", d, 11, chunk_size)
+    struct.pack_into("<qq", d, 15, -1, -1)        # no special EVLRs
+    struct.pack_into("<H", d, 32, len(items))
+    for k, (t, s) in enumerate(items):
+        struct.pack_into("<HHH", d, 34 + 6 * k, t, s, 2)
+    return LasVLR(_LASZIP_USER_ID, _LASZIP_RECORD_ID, "by myria3d_tpu", bytes(d))
+
+
 def read_las_header(path: str) -> LasHeader:
     """Parse the LAS header + VLRs without reading point data.
 
@@ -232,11 +290,6 @@ def read_las_header(path: str) -> LasHeader:
             )
 
     if point_format not in _STANDARD_SIZES:
-        if _is_laz(path, point_format_byte, vlrs):
-            raise NotImplementedError(
-                f"{path}: LAZ-compressed input is not supported yet; "
-                "decompress to .las first (e.g. with laszip/pdal offline)."
-            )
         raise ValueError(f"Unsupported LAS point format {point_format}")
 
     extra_dims: List[ExtraDim] = []
@@ -298,15 +351,13 @@ def read_las(path: str) -> LasData:
     ScanDirectionFlag / EdgeOfFlightLine / Classification columns.
     """
     header = read_las_header(path)
-    if getattr(header, "_is_laz", False):
-        raise NotImplementedError(
-            f"{path}: LAZ-compressed input is not supported yet; "
-            "decompress to .las first (e.g. with laszip/pdal offline)."
-        )
     dt = _packed_dtype(header)
-    with open(path, "rb") as f:
-        f.seek(header._point_offset)  # type: ignore[attr-defined]
-        raw = np.fromfile(f, dtype=dt, count=header.point_count)
+    if getattr(header, "_is_laz", False):
+        raw = _read_laz_points(path, header, dt)
+    else:
+        with open(path, "rb") as f:
+            f.seek(header._point_offset)  # type: ignore[attr-defined]
+            raw = np.fromfile(f, dtype=dt, count=header.point_count)
 
     out_fields: List[Tuple[str, str]] = [("X", "<f8"), ("Y", "<f8"), ("Z", "<f8")]
     old_classification = header.point_format < 6
@@ -348,6 +399,57 @@ def read_las(path: str) -> LasData:
         if name in (raw.dtype.names or ()):
             out[name] = raw[name]
     return LasData(header=header, points=out)
+
+
+def _read_laz_points(path: str, header: LasHeader, dt: np.dtype) -> np.ndarray:
+    """Decompress the LAZ point block into a raw record array via the native
+    LASzip codec (``pctl/native/laszip_native.cpp``). Supports compressor 1
+    (pointwise) and 2 (pointwise chunked) with item version 2 — the classic
+    LAS 1.2/1.3 point formats 0–3 (+extra bytes)."""
+    from myria3d_tpu.pctl.native import laz_decompress_points
+
+    laszip = _parse_laszip_vlr(header.vlrs)
+    if laszip is None:
+        raise ValueError(f"{path}: LAZ flagged but no laszip VLR found")
+    if laszip["compressor"] == 3:
+        raise NotImplementedError(
+            f"{path}: LAS 1.4 layered LAZ (compressor 3, point formats 6+) "
+            "is not supported yet; recompress as point format 0-3 LAZ or "
+            "decompress to .las."
+        )
+    if laszip["compressor"] not in (1, 2):
+        raise NotImplementedError(
+            f"{path}: unsupported LAZ compressor {laszip['compressor']}"
+        )
+    items = []
+    for t, s, ver in laszip["items"]:
+        if ver != 2:
+            raise NotImplementedError(
+                f"{path}: LAZ item type {t} version {ver} not supported "
+                "(only item version 2)"
+            )
+        items.append((t, s))
+    point_size = sum(s for _, s in items)
+    if point_size != dt.itemsize:
+        raise ValueError(
+            f"{path}: laszip items total {point_size} B but point record "
+            f"is {dt.itemsize} B"
+        )
+    with open(path, "rb") as f:
+        file_bytes = f.read()
+    chunk_size = laszip["chunk_size"] if laszip["compressor"] == 2 else 0
+    out = laz_decompress_points(
+        file_bytes,
+        header._point_offset,  # type: ignore[attr-defined]
+        header.point_count,
+        chunk_size,
+        items,
+    )
+    if out is None:
+        raise RuntimeError(
+            f"{path}: LAZ input needs the native codec, which failed to build"
+        )
+    return np.frombuffer(out.tobytes(), dtype=dt)
 
 
 def write_las(
@@ -426,8 +528,13 @@ def write_las(
         raw[d.name] = points[d.name].astype(d.dtype)
 
     # VLRs: carry over source VLRs, replacing any existing extra-bytes VLR
-    # with one describing the dims actually written.
-    vlrs = [v for v in header.vlrs if not (v.user_id == "LASF_Spec" and v.record_id == 4)]
+    # with one describing the dims actually written, and dropping any stale
+    # laszip VLR (re-added below when actually writing LAZ).
+    vlrs = [
+        v for v in header.vlrs
+        if not (v.user_id == "LASF_Spec" and v.record_id == 4)
+        and v.user_id != _LASZIP_USER_ID
+    ]
     if new_extra:
         vlrs.append(
             LasVLR(
@@ -435,6 +542,17 @@ def write_las(
                 b"".join(d.descriptor() for d in new_extra),
             )
         )
+
+    as_laz = path.lower().endswith(".laz")
+    laz_chunk_size = 50000
+    if as_laz:
+        if fmt not in _LAZ_ITEMS_BY_FORMAT:
+            raise NotImplementedError(
+                f"LAZ write supports point formats 0-3 (got {fmt}); "
+                "write .las for formats 6+."
+            )
+        extra_len = dt.itemsize - _STANDARD_SIZES[fmt]
+        vlrs.append(_make_laszip_vlr(fmt, extra_len, laz_chunk_size))
 
     major, minor = header.version
     if (major, minor) not in _HEADER_SIZES:
@@ -459,6 +577,22 @@ def write_las(
 
     legacy_count = n if (n < 2**32 and fmt < 6) else (n if (major, minor) < (1, 4) else (n if n < 2**32 else 0))
 
+    laz_blob: Optional[bytes] = None
+    if as_laz:
+        from myria3d_tpu.pctl.native import laz_compress_points
+
+        items = list(_LAZ_ITEMS_BY_FORMAT[fmt])
+        extra_len = dt.itemsize - _STANDARD_SIZES[fmt]
+        if extra_len > 0:
+            items.append((0, extra_len))
+        laz_blob = laz_compress_points(
+            raw, n, point_offset, laz_chunk_size, items
+        )
+        if laz_blob is None:
+            raise RuntimeError(
+                "LAZ output needs the native codec, which failed to build"
+            )
+
     buf = bytearray(header_size)
     struct.pack_into("<4s", buf, 0, b"LASF")
     struct.pack_into("<HH", buf, 4, header.file_source_id, header.global_encoding)
@@ -470,7 +604,7 @@ def write_las(
     struct.pack_into("<H", buf, 94, header_size)
     struct.pack_into("<I", buf, 96, point_offset)
     struct.pack_into("<I", buf, 100, len(vlrs))
-    buf[104] = fmt
+    buf[104] = fmt | (0x80 if as_laz else 0)
     struct.pack_into("<H", buf, 105, dt.itemsize)
     struct.pack_into("<I", buf, 107, legacy_count if legacy_count < 2**32 else 0)
     legacy_by_return = by_return[:5].astype(np.uint32)
@@ -492,7 +626,10 @@ def write_las(
     with open(path, "wb") as f:
         f.write(bytes(buf))
         f.write(vlr_bytes)
-        raw.tofile(f)
+        if laz_blob is not None:
+            f.write(laz_blob)
+        else:
+            raw.tofile(f)
 
 
 # ---------------------------------------------------------------------------

@@ -111,6 +111,116 @@ def native_grid_sample(
     )
 
 
+# ---------------------------------------------------------------------------
+# LASzip codec (laszip_native.cpp): LAZ point-block compress/decompress
+# ---------------------------------------------------------------------------
+
+_LAZ_SRC = os.path.join(_DIR, "laszip_native.cpp")
+_LAZ_SO = os.path.join(_DIR, "laszip_native.so")
+_laz_lib: Optional[ctypes.CDLL] = None
+
+
+def get_laz_lib() -> Optional[ctypes.CDLL]:
+    global _laz_lib
+    if _laz_lib is not None:
+        return _laz_lib
+    if not (os.path.isfile(_LAZ_SO)
+            and os.path.getmtime(_LAZ_SO) >= os.path.getmtime(_LAZ_SRC)):
+        try:
+            subprocess.run(
+                ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+                 _LAZ_SRC, "-o", _LAZ_SO],
+                check=True, capture_output=True, timeout=180,
+            )
+        except (OSError, subprocess.SubprocessError) as e:
+            warnings.warn(f"laszip_native build failed ({e}); LAZ unavailable")
+            return None
+    lib = ctypes.CDLL(_LAZ_SO)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.laz_decompress.restype = ctypes.c_int64
+    lib.laz_decompress.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        i32p, i32p, ctypes.c_int32, u8p,
+    ]
+    lib.laz_compress.restype = ctypes.c_int64
+    lib.laz_compress.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        i32p, i32p, ctypes.c_int32, u8p, ctypes.c_int64,
+    ]
+    _laz_lib = lib
+    return _laz_lib
+
+
+def _u8ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def laz_decompress_points(
+    file_bytes: bytes,
+    point_offset: int,
+    num_points: int,
+    chunk_size: int,
+    items: "list[tuple[int, int]]",
+) -> Optional[np.ndarray]:
+    """Decode a pointwise-chunked LAZ point block → raw point-record bytes.
+
+    ``items`` is the laszip VLR item list as (type, size) pairs. Returns a
+    uint8 array of shape (num_points * point_size,), or None when the native
+    codec is unavailable. Raises ValueError on malformed streams.
+    """
+    lib = get_laz_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(file_bytes, np.uint8)
+    types = np.asarray([t for t, _ in items], np.int32)
+    sizes = np.asarray([s for _, s in items], np.int32)
+    point_size = int(sizes.sum())
+    out = np.empty(num_points * point_size, np.uint8)
+    got = lib.laz_decompress(
+        _u8ptr(buf), ctypes.c_int64(len(file_bytes)),
+        ctypes.c_int64(point_offset), ctypes.c_int64(num_points),
+        ctypes.c_int32(chunk_size),
+        types.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int32(len(items)), _u8ptr(out),
+    )
+    if got < 0:
+        raise ValueError(f"LAZ decompression failed (code {got})")
+    if got != num_points:
+        raise ValueError(f"LAZ stream truncated: {got}/{num_points} points")
+    return out
+
+
+def laz_compress_points(
+    raw_records: np.ndarray,
+    num_points: int,
+    point_offset: int,
+    chunk_size: int,
+    items: "list[tuple[int, int]]",
+) -> Optional[bytes]:
+    """Encode raw point records into a pointwise-chunked LAZ point block
+    (chunk-table pointer + chunks + compressed chunk table)."""
+    lib = get_laz_lib()
+    if lib is None:
+        return None
+    raw = np.ascontiguousarray(raw_records.view(np.uint8).reshape(-1))
+    types = np.asarray([t for t, _ in items], np.int32)
+    sizes = np.asarray([s for _, s in items], np.int32)
+    cap = int(raw.nbytes + raw.nbytes // 4 + 65536)
+    out = np.empty(cap, np.uint8)
+    n = lib.laz_compress(
+        _u8ptr(raw), ctypes.c_int64(num_points),
+        ctypes.c_int64(point_offset), ctypes.c_int32(chunk_size),
+        types.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int32(len(items)), _u8ptr(out), ctypes.c_int64(cap),
+    )
+    if n < 0:
+        raise ValueError(f"LAZ compression failed (code {n})")
+    return out[:n].tobytes()
+
+
 def native_crop_square(
     pos: np.ndarray, cx: float, cy: float, half_width: float
 ) -> Optional[np.ndarray]:

@@ -113,9 +113,136 @@ def test_header_only_read_counts(tmp_path):
     assert h.point_count == 321
 
 
-def test_laz_rejected():
-    with pytest.raises(NotImplementedError):
+def test_layered_laz_rejected_with_clear_error():
+    """LAS 1.4 layered LAZ (compressor 3, point formats 6+) is out of scope
+    for the pointwise codec — must fail loudly, naming the limitation."""
+    with pytest.raises(NotImplementedError, match="layered"):
         read_las("/root/reference/tests/data/single-point-cloud.laz")
+
+
+# ---------------------------------------------------------------------------
+# LAZ (native LASzip codec, pointwise chunked, item version 2)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("fmt", [0, 1, 2, 3])
+def test_laz_roundtrip_bit_identical(tmp_path, fmt):
+    """LAS -> LAZ -> read is bit-identical on every dimension."""
+    pts = _synthetic_points(5000, with_colors=fmt in (2, 3))
+    header = LasHeader(point_format=fmt,
+                       offsets=(862000.0, 6652000.0, 0.0))
+    las_path = str(tmp_path / "t.las")
+    laz_path = str(tmp_path / "t.laz")
+    write_las(las_path, pts, header)
+    write_las(laz_path, pts, header)
+    a = read_las(las_path)
+    b = read_las(laz_path)
+    assert a.points.dtype == b.points.dtype
+    for name in a.points.dtype.names:
+        np.testing.assert_array_equal(a.points[name], b.points[name],
+                                      err_msg=name)
+    # header survives the LAZ container
+    assert b.header.point_format == fmt
+    assert b.header.scales == a.header.scales
+    assert b.header.point_count == len(pts)
+
+
+def test_laz_smaller_than_las(tmp_path):
+    import os
+
+    pts = _synthetic_points(20000)
+    write_las(str(tmp_path / "t.las"), pts, LasHeader(point_format=3))
+    write_las(str(tmp_path / "t.laz"), pts, LasHeader(point_format=3))
+    assert os.path.getsize(tmp_path / "t.laz") < 0.7 * os.path.getsize(
+        tmp_path / "t.las")
+
+
+def test_laz_multichunk_and_tiny(tmp_path):
+    """Chunk boundaries (50k default) and degenerate sizes round-trip."""
+    from myria3d_tpu.pctl.native import (
+        laz_compress_points,
+        laz_decompress_points,
+    )
+
+    dt = np.dtype([("x", "<i4"), ("y", "<i4"), ("z", "<i4"), ("i", "<u2"),
+                   ("bb", "u1"), ("c", "u1"), ("a", "i1"), ("u", "u1"),
+                   ("p", "<u2")])
+    rng = np.random.default_rng(1)
+    for n, chunk in [(1, 10), (2, 10), (25, 10), (101, 10), (3, 1)]:
+        pts = np.zeros(n, dtype=dt)
+        pts["x"] = rng.integers(-2**30, 2**30, n).astype(np.int32)
+        pts["y"] = rng.integers(-2**30, 2**30, n).astype(np.int32)
+        pts["z"] = rng.integers(-2**20, 2**20, n).astype(np.int32)
+        pts["bb"] = (rng.integers(1, 6, n) | (rng.integers(1, 6, n) << 3)).astype(np.uint8)
+        pts["c"] = rng.integers(0, 32, n)
+        blob = laz_compress_points(pts, n, 0, chunk, [(6, 20)])
+        out = laz_decompress_points(bytes(blob), 0, n, chunk, [(6, 20)])
+        back = np.frombuffer(out.tobytes(), dtype=dt)
+        for f in dt.names:
+            np.testing.assert_array_equal(back[f], pts[f], err_msg=f"{f} n={n}")
+
+
+def test_laz_extreme_coordinate_jumps(tmp_path):
+    """i32-extreme deltas exercise the k=32 corrector path."""
+    dt = np.dtype([("x", "<i4"), ("y", "<i4"), ("z", "<i4"), ("i", "<u2"),
+                   ("bb", "u1"), ("c", "u1"), ("a", "i1"), ("u", "u1"),
+                   ("p", "<u2")])
+    pts = np.zeros(8, dtype=dt)
+    pts["x"] = [0, 2**31 - 1, -2**31, 0, -1, 1, 2**31 - 1, -2**31]
+    pts["y"] = pts["x"][::-1].copy()
+    pts["z"] = [0, -2**31, 2**31 - 1, 5, 0, 0, 1, -1]
+    pts["bb"] = 1 | (1 << 3)
+    from myria3d_tpu.pctl.native import (
+        laz_compress_points,
+        laz_decompress_points,
+    )
+
+    blob = laz_compress_points(pts, 8, 0, 50000, [(6, 20)])
+    out = laz_decompress_points(bytes(blob), 0, 8, 50000, [(6, 20)])
+    back = np.frombuffer(out.tobytes(), dtype=dt)
+    for f in dt.names:
+        np.testing.assert_array_equal(back[f], pts[f], err_msg=f)
+
+
+def test_laz_with_extra_bytes_roundtrip(tmp_path):
+    """Extra-bytes dims ride the BYTE item and survive bit-exactly."""
+    pts = _synthetic_points(3000)
+    names = list(pts.dtype.names)
+    aug = np.zeros(len(pts), dtype=np.dtype(
+        pts.dtype.descr + [("entropy", "<f4"), ("building", "<f4")]))
+    for f in names:
+        aug[f] = pts[f]
+    rng = np.random.default_rng(3)
+    aug["entropy"] = rng.random(len(pts)).astype(np.float32)
+    aug["building"] = rng.random(len(pts)).astype(np.float32)
+    laz_path = str(tmp_path / "e.laz")
+    write_las(laz_path, aug, LasHeader(point_format=3))
+    back = read_las(laz_path)
+    for f in ("entropy", "building", "GpsTime"):  # stored unquantized
+        np.testing.assert_array_equal(back.points[f], aug[f], err_msg=f)
+    for f in ("X", "Y", "Z"):  # scale-quantized like any LAS write
+        np.testing.assert_allclose(back.points[f], aug[f], atol=0.006,
+                                   err_msg=f)
+
+
+def test_laz_write_format8_rejected(tmp_path):
+    pts = _synthetic_points(10)
+    with pytest.raises(NotImplementedError, match="0-3"):
+        write_las(str(tmp_path / "x.laz"), pts, LasHeader(point_format=8))
+
+
+def test_las_written_from_laz_source_has_no_laszip_vlr(tmp_path):
+    """A .las written from a header that came from a .laz must not carry the
+    stale laszip VLR (it would be mis-detected as compressed)."""
+    pts = _synthetic_points(100)
+    laz_path = str(tmp_path / "s.laz")
+    write_las(laz_path, pts, LasHeader(point_format=3))
+    src = read_las(laz_path)
+    las_path = str(tmp_path / "o.las")
+    write_las(las_path, src.points, header=src.header)
+    out = read_las(las_path)  # would raise if mis-detected as LAZ
+    assert len(out.points) == 100
+    assert not any(v.user_id.startswith("laszip") for v in out.header.vlrs)
 
 
 def test_empty_cloud_roundtrip(tmp_path):

@@ -165,6 +165,50 @@ def test_predict_with_subtile_overlap(
     assert "PredictedClassification" in (out.points.dtype.names or ())
 
 
+def test_predict_on_laz(tmp_path, one_epoch_trained_ckpt, toy_las_path):
+    """task=predict ingests LAZ directly (reference production pipeline
+    reads .laz via PDAL; its batch-predict CI globs *.laz). The fixture is
+    the toy tile re-expressed as point-format-3 LAZ (classes clamped to the
+    5-bit field; NIR rides an extra-bytes dim so all 9 features exist)."""
+    import numpy as np
+
+    from myria3d_tpu.pctl.io.las import LasHeader, read_las, write_las
+
+    src = read_las(toy_las_path)
+    pts = src.points.copy()
+    pts["Classification"] = np.where(
+        pts["Classification"] > 31, 1, pts["Classification"]
+    )
+    hdr = LasHeader(
+        point_format=3,
+        scales=src.header.scales,
+        offsets=src.header.offsets,
+        vlrs=[v for v in src.header.vlrs if v.user_id == "LASF_Projection"],
+    )
+    laz_path = str(tmp_path / "toy_fmt3.laz")
+    write_las(laz_path, pts, hdr)
+
+    out_dir = str(tmp_path / "preds_laz")
+    run_cli(
+        [
+            "--config-path", CONFIG_DIR,
+            "task.task_name=predict",
+            f"predict.src_las={laz_path}",
+            f"predict.ckpt_path={one_epoch_trained_ckpt}",
+            f"predict.output_dir={out_dir}",
+            "datamodule.batch_size=2",
+        ],
+        cwd=str(tmp_path),
+    )
+    out_path = os.path.join(out_dir, os.path.basename(laz_path))
+    assert os.path.isfile(out_path)
+    out = read_las(out_path)
+    assert len(out.points) == len(pts)
+    assert "PredictedClassification" in (out.points.dtype.names or ())
+    # predictions came back as LAZ too (path-driven format selection)
+    assert out.header.point_count == len(pts)
+
+
 def test_predict_no_epsg_fails_informatively(
     tmp_path, one_epoch_trained_ckpt
 ):
