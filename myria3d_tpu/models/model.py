@@ -142,6 +142,34 @@ class Model:
             variables, x, pos, mask, train=train, rngs=rngs, mutable=mutable
         )
 
+    def build_grad_step(self) -> Callable:
+        """Pure (state, x, pos, y, mask, rng) -> (loss, grads, new_stats,
+        logits) — the forward/backward WITHOUT the optimizer update.
+        Building block for custom reductions (e.g. the local-BN
+        data-parallel step pmean-reduces grads/stats across shards before
+        one shared optimizer update, ``parallel/mesh.py``)."""
+
+        def step(state: TrainState, x, pos, y, mask, rng):
+            step_rng = jax.random.fold_in(rng, state.step)
+            dec_rng, drop_rng = jax.random.split(step_rng)
+
+            def loss_fn(params):
+                logits, updates = self._apply(
+                    params, state.batch_stats, x, pos, mask,
+                    train=True,
+                    rngs={"decimation": dec_rng, "dropout": drop_rng},
+                    mutable=["batch_stats"],
+                )
+                loss = self.criterion(logits, y)
+                return loss, (logits, updates["batch_stats"])
+
+            (loss, (logits, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            return loss, grads, new_stats, logits
+
+        return step
+
     def build_train_step(self) -> Callable:
         """Pure (state, x, pos, y, mask, rng[, lr_mult]) -> (state, loss,
         logits) — un-jitted, for wrapping with jit or mesh-sharded jit

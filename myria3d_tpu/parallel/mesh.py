@@ -5,8 +5,10 @@ batch tensors sharded ``P('data')`` on their leading axis, model/optimizer
 state replicated ``P()``. The jitted step is the *same pure function* as the
 single-chip path (``Model.build_*_step``) — GSPMD partitions it, inserting
 the gradient ``psum`` where the loss mean crosses the batch axis. BatchNorm
-batch statistics are likewise computed over the global batch (sync-BN — a
-strict upgrade over the reference's local-batch BN under DDP).
+batch statistics are likewise computed over the global batch by default
+(sync-BN — a strict upgrade over the reference's local-batch BN under DDP);
+``sync_bn=False`` switches to a shard_map step with per-shard BN moments
+and pmean'd gradients for exact reference DDP training parity.
 
 Multi-host: each process feeds its local shard via
 ``jax.make_array_from_process_local_data``; process 0 handles logging and
@@ -66,25 +68,96 @@ def _shardings(mesh: Mesh):
     return repl, data
 
 
-def sharded_train_step(model, mesh: Mesh, with_lr_mult: bool = False) -> Callable:
+def sharded_train_step(model, mesh: Mesh, with_lr_mult: bool = False,
+                       sync_bn: bool = True) -> Callable:
     """jit of the model's pure train step with data-parallel shardings.
 
     (state, x, pos, y, mask, rng[, lr_mult]) -> (state, loss, logits); state
     replicated, batch tensors sharded on ``data``; logits returned sharded.
+
+    ``sync_bn=True`` (default): the step is GSPMD-partitioned, so BatchNorm
+    moments and the masked-CE mean span the *global* batch — a strict
+    upgrade over the reference's local-batch BN under DDP.
+    ``sync_bn=False``: reference DDP training parity — each shard runs the
+    whole forward/backward on its local batch (BN moments and loss mean are
+    per-shard), then gradients/loss/BN running stats are pmean-reduced and
+    one shared optimizer update is applied (NCCL all-reduce analog,
+    SURVEY.md §7 last bullet).
     """
     repl, data = _shardings(mesh)
-    step = model.build_train_step()
-    if with_lr_mult:
+    if sync_bn:
+        step = model.build_train_step()
+        if with_lr_mult:
+            return jax.jit(
+                lambda state, x, pos, y, mask, rng, lr_mult: step(
+                    state, x, pos, y, mask, rng, lr_mult
+                ),
+                in_shardings=(repl, data, data, data, data, repl, repl),
+                out_shardings=(repl, repl, data),
+                donate_argnums=(0,),
+            )
         return jax.jit(
-            lambda state, x, pos, y, mask, rng, lr_mult: step(
-                state, x, pos, y, mask, rng, lr_mult
-            ),
+            lambda state, x, pos, y, mask, rng: step(state, x, pos, y, mask, rng),
+            in_shardings=(repl, data, data, data, data, repl),
+            out_shardings=(repl, repl, data),
+            donate_argnums=(0,),
+        )
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    import optax
+
+    grad_step = model.build_grad_step()
+    n_dev = int(mesh.shape[DATA_AXIS])
+
+    def per_shard(state, x, pos, y, mask, rng, lr_mult=None):
+        loss, grads, new_stats, logits = grad_step(state, x, pos, y, mask, rng)
+        # Params enter the shard_map replicated (P()), so AD already psums
+        # their cotangent across the data axis — dividing by the axis size
+        # yields the DDP gradient mean. Loss/BN stats are per-shard values
+        # and need an explicit pmean.
+        grads = jax.tree_util.tree_map(lambda g: g / n_dev, grads)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+        new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
+        updates, new_opt_state = model.tx.update(
+            grads, state.opt_state, state.params
+        )
+        if lr_mult is not None:
+            updates = jax.tree_util.tree_map(lambda u, m: u * m, updates, lr_mult)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, loss, logits
+
+    if with_lr_mult:
+        smapped = shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                      P(DATA_AXIS), P(), P()),
+            out_specs=(P(), P(), P(DATA_AXIS)),
+        )
+        return jax.jit(
+            smapped,
             in_shardings=(repl, data, data, data, data, repl, repl),
             out_shardings=(repl, repl, data),
             donate_argnums=(0,),
         )
+    smapped = shard_map(
+        lambda state, x, pos, y, mask, rng: per_shard(state, x, pos, y, mask, rng),
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                  P(DATA_AXIS), P()),
+        out_specs=(P(), P(), P(DATA_AXIS)),
+    )
     return jax.jit(
-        lambda state, x, pos, y, mask, rng: step(state, x, pos, y, mask, rng),
+        smapped,
         in_shardings=(repl, data, data, data, data, repl),
         out_shardings=(repl, repl, data),
         donate_argnums=(0,),
@@ -151,10 +224,13 @@ class ParallelSteps:
     rows), else None and callers use the single-chip steps.
     """
 
-    def __init__(self, model, mesh: Mesh):
+    def __init__(self, model, mesh: Mesh, sync_bn: bool = True):
         self.mesh = mesh
-        self.train_step = sharded_train_step(model, mesh)
-        self.train_step_lr_mult = sharded_train_step(model, mesh, with_lr_mult=True)
+        self.sync_bn = sync_bn
+        self.train_step = sharded_train_step(model, mesh, sync_bn=sync_bn)
+        self.train_step_lr_mult = sharded_train_step(
+            model, mesh, with_lr_mult=True, sync_bn=sync_bn
+        )
         self.eval_step = sharded_eval_step(model, mesh)
         self.interp_step = sharded_interp_step(model, mesh)
 
@@ -165,12 +241,12 @@ class ParallelSteps:
         return shard_batch(arrays, self.mesh)
 
 
-def auto_parallel(model, batch_size: int, devices: Any = "auto"
-                  ) -> Optional[ParallelSteps]:
+def auto_parallel(model, batch_size: int, devices: Any = "auto",
+                  sync_bn: bool = True) -> Optional[ParallelSteps]:
     """Build ParallelSteps over the local devices (None for single-chip)."""
     avail = jax.devices()
     want = len(avail) if devices in (None, "auto") else min(int(devices), len(avail))
     n = max(d for d in range(1, want + 1) if batch_size % d == 0)
     if n <= 1:
         return None
-    return ParallelSteps(model, make_mesh(n))
+    return ParallelSteps(model, make_mesh(n), sync_bn=sync_bn)

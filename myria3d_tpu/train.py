@@ -44,6 +44,10 @@ class TrainerConfig:
     num_sanity_val_steps: int = 0
     accumulate_grad_batches: int = 1
     overfit_batches: int = 0
+    # True (default): BN moments over the global batch (GSPMD sync-BN, a
+    # strict upgrade). False: per-shard BN + pmean'd grads — reference DDP
+    # local-batch-BN training parity (SURVEY.md §7 last bullet).
+    sync_batchnorm: bool = True
 
     def __init__(self, **kwargs: Any):
         for f in dataclasses.fields(self):
@@ -89,11 +93,15 @@ class Trainer:
     def _setup_parallel(self, model: Model, batch_size: int) -> None:
         from myria3d_tpu.parallel import auto_parallel
 
-        self.par = auto_parallel(model, batch_size, self.cfg.devices)
+        self.par = auto_parallel(
+            model, batch_size, self.cfg.devices,
+            sync_bn=bool(self.cfg.sync_batchnorm),
+        )
         if self.par is not None:
             log.info(
                 f"Data-parallel over {self.par.mesh.devices.size} devices "
-                f"(batch {batch_size})"
+                f"(batch {batch_size}, "
+                f"{'sync' if self.cfg.sync_batchnorm else 'local'}-BN)"
             )
 
     def _place(self, arrays):

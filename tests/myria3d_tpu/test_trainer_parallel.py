@@ -6,6 +6,7 @@ with a tiny in-memory datamodule so compiles stay cheap on the 1-core host.
 """
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -166,6 +167,77 @@ def test_interp_step_on_mesh_matches_single_device():
     assert out.shape == (B, m_full, C)
     # same rng stream + batch-parallel step → identical logits
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs a multi-device mesh")
+def test_local_bn_step_matches_per_shard_reference():
+    """sync_bn=False reproduces reference DDP semantics exactly: per-shard
+    forward/backward (BN moments on the local batch), pmean'd grads/stats,
+    one shared optimizer update — verified against a manual per-slice
+    computation; and it diverges from the sync-BN (global-moment) step."""
+    import optax
+
+    from myria3d_tpu.parallel import (
+        make_mesh,
+        replicate_to_mesh,
+        shard_batch,
+        sharded_train_step,
+    )
+
+    model = _model()
+    batch = _batch(7)
+    # make per-shard feature distributions differ so BN mode matters
+    batch.x[0] += 3.0
+    batch.x[2] -= 2.0
+    state = model.init_state(jax.random.PRNGKey(0), batch.device_arrays())
+    key = jax.random.PRNGKey(9)
+
+    # manual reference: per-slice grad step (local b=1 == per-shard local
+    # batch on a 4-device mesh), mean-reduced, one optimizer update
+    grad_step = jax.jit(model.build_grad_step())
+    per = [
+        grad_step(state, batch.x[i:i + 1], batch.pos[i:i + 1],
+                  batch.y[i:i + 1], batch.mask[i:i + 1], key)
+        for i in range(B)
+    ]
+    mean = lambda trees: jax.tree_util.tree_map(  # noqa: E731
+        lambda *xs: sum(xs) / len(xs), *trees)
+    ref_grads = mean([p[1] for p in per])
+    ref_stats = mean([p[2] for p in per])
+    updates, _ = model.tx.update(ref_grads, state.opt_state, state.params)
+    ref_params = optax.apply_updates(state.params, updates)
+
+    mesh = make_mesh(4)
+    # place both copies BEFORE the donating step: device_put may alias the
+    # source buffers, and train steps donate their state argument
+    pstate = replicate_to_mesh(jax.tree_util.tree_map(jnp.copy, state), mesh)
+    pstate2 = replicate_to_mesh(jax.tree_util.tree_map(jnp.copy, state), mesh)
+    arrays = shard_batch(batch.device_arrays(), mesh)
+    local_step = sharded_train_step(model, mesh, sync_bn=False)
+    new_state, loss, logits = local_step(
+        pstate, arrays["x"], arrays["pos"], arrays["y"], arrays["mask"], key,
+    )
+    assert np.isfinite(float(loss))
+    for a, b in zip(jax.tree_util.tree_leaves(ref_params),
+                    jax.tree_util.tree_leaves(new_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_stats),
+                    jax.tree_util.tree_leaves(new_state.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+    # sync-BN computes moments over the global batch → different stats
+    sync_step = sharded_train_step(model, mesh, sync_bn=True)
+    sync_state, _, _ = sync_step(
+        pstate2, arrays["x"], arrays["pos"], arrays["y"], arrays["mask"], key,
+    )
+    diffs = [
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for a, b in zip(jax.tree_util.tree_leaves(sync_state.batch_stats),
+                        jax.tree_util.tree_leaves(new_state.batch_stats))
+    ]
+    assert max(diffs) > 1e-4, "sync and local BN unexpectedly identical"
 
 
 def test_single_device_fallback_when_batch_indivisible():
