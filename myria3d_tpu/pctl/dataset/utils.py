@@ -27,6 +27,7 @@ from myria3d_tpu.pctl.io.las import (
     has_srs,
     make_wkt_vlr_for_epsg,
     read_las,
+    read_las_float32,
     read_las_header,
 )
 
@@ -55,22 +56,27 @@ def get_mosaic_of_centers(
     return [np.array([x, y]) for x in xy_range for y in xy_range]
 
 
-def read_las_array(las_path: str, epsg: Optional[str]) -> Tuple[np.ndarray, LasHeader]:
-    """Read LAS as a named array, enforcing the reference's EPSG contract:
-    if ``epsg`` is falsy and the file has no SRS, raise (reference
-    ``utils.py:76-102``). Returns (points, header)."""
-    data = read_las(las_path)
+def _enforce_epsg(header: LasHeader, epsg: Optional[str]) -> None:
+    """The reference's EPSG contract (``utils.py:76-102``): an explicit
+    ``epsg`` overrides the file SRS (like PDAL's override_srs); otherwise the
+    file must carry one."""
     if epsg:
-        # Force the CRS like PDAL's override_srs: replace projection VLRs.
         code = str(epsg).split(":")[-1]
         if code.isdigit():
-            data.header.vlrs = [
-                v for v in data.header.vlrs if v.user_id != "LASF_Projection"
+            header.vlrs = [
+                v for v in header.vlrs if v.user_id != "LASF_Projection"
             ] + [make_wkt_vlr_for_epsg(int(code))]
-    elif not has_srs(data.header):
+    elif not has_srs(header):
         raise RuntimeError(
             "No EPSG provided, neither in the lidar file or as parameter"
         )
+
+
+def read_las_array(las_path: str, epsg: Optional[str]) -> Tuple[np.ndarray, LasHeader]:
+    """Read LAS as a named array (X/Y/Z float64), enforcing the EPSG
+    contract. Returns (points, header)."""
+    data = read_las(las_path)
+    _enforce_epsg(data.header, epsg)
     return data.points, data.header
 
 
@@ -78,14 +84,11 @@ def read_las_array_as_float32(
     las_path: str, epsg: Optional[str]
 ) -> Tuple[np.ndarray, LasHeader]:
     """Read LAS as a named array with every dimension cast to float32
-    (reference ``utils.py:57-62``)."""
-    arr, header = read_las_array(las_path, epsg)
-    names = [n for n in arr.dtype.names if arr.dtype[n].kind != "V"]
-    all_floats = np.dtype({"names": names, "formats": ["f4"] * len(names)})
-    out = np.empty(arr.shape, dtype=all_floats)
-    for n in names:
-        out[n] = arr[n].astype(np.float32)
-    return out, header
+    (reference ``utils.py:57-62``) — single-pass cast straight from the
+    packed records (``pctl/io/las.py::read_las_float32``)."""
+    data = read_las_float32(las_path)
+    _enforce_epsg(data.header, epsg)
+    return data.points, data.header
 
 
 def get_las_metadata(las_path: str) -> Dict:
@@ -166,6 +169,19 @@ def split_cloud_into_samples(
         step=stride,
     )
     n_k = len(centers_1d)
+
+    # native counting-sort binning (one O(N) pass, no lexsort)
+    from myria3d_tpu.pctl.native import native_bin_windows
+
+    binned = native_bin_windows(xy_rel, centers_1d, float(radius), float(stride))
+    if binned is not None:
+        offsets, indices = binned
+        for w in range(n_k * n_k):
+            s, e = offsets[w], offsets[w + 1]
+            if e > s:
+                sample_idx = indices[s:e]
+                yield sample_idx, points[sample_idx]
+        return
 
     # chunk the combo expansion so peak memory stays ~O(block * C^2)
     n = xy_rel.shape[0]

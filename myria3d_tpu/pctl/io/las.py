@@ -452,6 +452,75 @@ def _read_laz_points(path: str, header: LasHeader, dt: np.dtype) -> np.ndarray:
     return np.frombuffer(out.tobytes(), dtype=dt)
 
 
+def read_las_float32(path: str) -> LasData:
+    """Read with every output column float32, in ONE cast pass.
+
+    The training/inference data layer consumes float32 everywhere
+    (reference ``pdal_read_las_array_as_float32``); going through the
+    generic f64 named array first would copy the whole tile twice. This
+    builds the f32 array straight from the packed records.
+    """
+    header = read_las_header(path)
+    dt = _packed_dtype(header)
+    if getattr(header, "_is_laz", False):
+        raw = _read_laz_points(path, header, dt)
+    else:
+        with open(path, "rb") as f:
+            f.seek(header._point_offset)  # type: ignore[attr-defined]
+            raw = np.fromfile(f, dtype=dt, count=header.point_count)
+
+    names = _output_field_order(header, dt)
+    out = np.empty(len(raw), dtype=np.dtype([(n, "<f4") for n in names]))
+    sx, sy, sz = header.scales
+    ox, oy, oz = header.offsets
+    # scale in f64 (raw i32 magnitudes exceed f32's integer range), cast once
+    out["X"] = raw["X_raw"] * sx + ox
+    out["Y"] = raw["Y_raw"] * sy + oy
+    out["Z"] = raw["Z_raw"] * sz + oz
+    _unpack_bitfields(header, raw, out)
+    for name in names:
+        if name in (raw.dtype.names or ()) and name not in (
+            "X", "Y", "Z", "Classification",
+        ):
+            out[name] = raw[name]
+    return LasData(header=header, points=out)
+
+
+def _output_field_order(header: LasHeader, dt: np.dtype) -> List[str]:
+    """Same column order as ``read_las`` so both readers are
+    drop-in-interchangeable for by-name AND by-position consumers."""
+    names = ["X", "Y", "Z"]
+    for name in dt.names or ():
+        if name in ("X_raw", "Y_raw", "Z_raw", "flags", "returns",
+                    "raw_classification", "_pad"):
+            continue
+        if np.dtype(dt[name]).kind == "V":
+            continue
+        names.append(name)
+    names.insert(4, "ReturnNumber")
+    names.insert(5, "NumberOfReturns")
+    names.insert(6, "ScanDirectionFlag")
+    names.insert(7, "EdgeOfFlightLine")
+    if header.point_format < 6:
+        names.insert(8, "Classification")
+    return names
+
+
+def _unpack_bitfields(header: LasHeader, raw: np.ndarray, out: np.ndarray) -> None:
+    if header.point_format < 6:
+        out["ReturnNumber"] = raw["flags"] & 0x07
+        out["NumberOfReturns"] = (raw["flags"] >> 3) & 0x07
+        out["ScanDirectionFlag"] = (raw["flags"] >> 6) & 0x01
+        out["EdgeOfFlightLine"] = (raw["flags"] >> 7) & 0x01
+        out["Classification"] = raw["raw_classification"] & 0x1F
+    else:
+        out["ReturnNumber"] = raw["returns"] & 0x0F
+        out["NumberOfReturns"] = (raw["returns"] >> 4) & 0x0F
+        out["ScanDirectionFlag"] = (raw["flags"] >> 6) & 0x01
+        out["EdgeOfFlightLine"] = (raw["flags"] >> 7) & 0x01
+        out["Classification"] = raw["Classification"]
+
+
 def write_las(
     path: str,
     points: np.ndarray,

@@ -58,6 +58,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
         ctypes.c_float, ctypes.c_float, ctypes.POINTER(ctypes.c_int32),
     ]
+    dp = ctypes.POINTER(ctypes.c_double)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.bin_windows_count.restype = ctypes.c_int64
+    lib.bin_windows_count.argtypes = [
+        dp, ctypes.c_int64, dp, ctypes.c_int32,
+        ctypes.c_double, ctypes.c_double, i64p,
+    ]
+    lib.bin_windows_fill.restype = None
+    lib.bin_windows_fill.argtypes = [
+        dp, ctypes.c_int64, dp, ctypes.c_int32,
+        ctypes.c_double, ctypes.c_double, i64p, i64p, i64p,
+    ]
     _lib = lib
     return _lib
 
@@ -109,6 +121,45 @@ def native_grid_sample(
         out_y[:n_vox].copy() if has_y else None,
         inverse,
     )
+
+
+def native_bin_windows(
+    xy: np.ndarray, centers: np.ndarray, radius: float, stride: float
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Counting-sort point→mosaic-window binning (C++).
+
+    Returns (offsets (n_k²+1,) int64 prefix sums over x-major flat window
+    ids, indices int64 grouped by window, ascending within each) or None
+    when unavailable. Membership is the inclusive Chebyshev test
+    ``|coord - center| <= radius`` per axis — bit-compatible with the numpy
+    path in ``pctl/dataset/utils.py``.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    if int(2 * radius / stride) + 2 > 8:  # C++ per-axis candidate buffer
+        return None
+    dp = ctypes.POINTER(ctypes.c_double)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    xy_c = np.ascontiguousarray(xy, np.float64)
+    cen = np.ascontiguousarray(centers, np.float64)
+    n = xy_c.shape[0]
+    n_k = len(cen)
+    offsets = np.empty(n_k * n_k + 1, np.int64)
+    total = lib.bin_windows_count(
+        xy_c.ctypes.data_as(dp), ctypes.c_int64(n), cen.ctypes.data_as(dp),
+        ctypes.c_int32(n_k), ctypes.c_double(radius), ctypes.c_double(stride),
+        offsets.ctypes.data_as(i64p),
+    )
+    indices = np.empty(max(int(total), 1), np.int64)
+    cursors = np.empty(max(n_k * n_k, 1), np.int64)
+    lib.bin_windows_fill(
+        xy_c.ctypes.data_as(dp), ctypes.c_int64(n), cen.ctypes.data_as(dp),
+        ctypes.c_int32(n_k), ctypes.c_double(radius), ctypes.c_double(stride),
+        offsets.ctypes.data_as(i64p), cursors.ctypes.data_as(i64p),
+        indices.ctypes.data_as(i64p),
+    )
+    return offsets, indices[: int(total)]
 
 
 # ---------------------------------------------------------------------------

@@ -122,4 +122,71 @@ int64_t crop_square(const float* pos, int64_t n, float cx, float cy,
   return m;
 }
 
+// ---------------------------------------------------------------------------
+// Mosaic window binning (subtile extraction): counting sort of point→window
+// memberships. Window k along one axis spans
+// [centers[k]-radius, centers[k]+radius] inclusive (the reference's
+// Chebyshev ball query); a point can fall in several overlapping windows.
+// Two passes: bin_windows_count fills the per-window prefix-sum offsets
+// (length n_k*n_k + 1) and returns the total pair count; bin_windows_fill
+// scatters ascending point indices per window.
+// ---------------------------------------------------------------------------
+
+static inline void axis_candidates(double c, const double* centers,
+                                   int32_t n_k, double radius, double stride,
+                                   double first, int32_t cmax, int32_t* ks,
+                                   int32_t* count) {
+  int64_t k_lo = (int64_t)std::floor((c - first - radius) / stride);
+  int32_t m = 0;
+  for (int32_t j = 0; j < cmax; ++j) {
+    int64_t k = k_lo + j;
+    if (k < 0 || k >= n_k) continue;
+    double d = c - centers[k];
+    if (d < 0) d = -d;
+    if (d <= radius) ks[m++] = (int32_t)k;
+  }
+  *count = m;
+}
+
+int64_t bin_windows_count(const double* xy, int64_t n, const double* centers,
+                          int32_t n_k, double radius, double stride,
+                          int64_t* offsets /* n_k*n_k + 1 */) {
+  const double first = centers[0];
+  const int32_t cmax = (int32_t)(2.0 * radius / stride) + 2;
+  const int64_t n_win = (int64_t)n_k * n_k;
+  for (int64_t w = 0; w <= n_win; ++w) offsets[w] = 0;
+  int32_t kx[8], ky[8], nx, ny;
+  for (int64_t i = 0; i < n; ++i) {
+    axis_candidates(xy[2 * i], centers, n_k, radius, stride, first, cmax, kx,
+                    &nx);
+    axis_candidates(xy[2 * i + 1], centers, n_k, radius, stride, first, cmax,
+                    ky, &ny);
+    for (int32_t a = 0; a < nx; ++a)
+      for (int32_t b = 0; b < ny; ++b)
+        ++offsets[(int64_t)kx[a] * n_k + ky[b] + 1];
+  }
+  for (int64_t w = 0; w < n_win; ++w) offsets[w + 1] += offsets[w];
+  return offsets[n_win];
+}
+
+void bin_windows_fill(const double* xy, int64_t n, const double* centers,
+                      int32_t n_k, double radius, double stride,
+                      const int64_t* offsets, int64_t* cursors /* scratch */,
+                      int64_t* out_indices) {
+  const double first = centers[0];
+  const int32_t cmax = (int32_t)(2.0 * radius / stride) + 2;
+  const int64_t n_win = (int64_t)n_k * n_k;
+  for (int64_t w = 0; w < n_win; ++w) cursors[w] = offsets[w];
+  int32_t kx[8], ky[8], nx, ny;
+  for (int64_t i = 0; i < n; ++i) {
+    axis_candidates(xy[2 * i], centers, n_k, radius, stride, first, cmax, kx,
+                    &nx);
+    axis_candidates(xy[2 * i + 1], centers, n_k, radius, stride, first, cmax,
+                    ky, &ny);
+    for (int32_t a = 0; a < nx; ++a)
+      for (int32_t b = 0; b < ny; ++b)
+        out_indices[cursors[(int64_t)kx[a] * n_k + ky[b]]++] = i;
+  }
+}
+
 }  // extern "C"
