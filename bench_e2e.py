@@ -1,0 +1,181 @@
+"""End-to-end 1 km²-tile predict benchmark (the BASELINE.json headline).
+
+Times ``myria3d_tpu.predict.predict`` wall-clock on a synthetic ~17 M-point
+1 km² classified Lidar-HD-like tile: LAS read → native window binning →
+per-subtile feature engineering + GridSampling (threaded) → device forward +
+on-device full-cloud kNN interpolation → overlap merge → LAS write. This is
+the number the reference defines (BASELINE.md: production predict on one
+1 km² tile), as opposed to ``bench.py``'s device-path-only metric.
+
+Prints ONE JSON line:
+  {"metric": "predict_e2e_throughput", "value": Mpts/s, "unit": ...,
+   "vs_baseline": x vs the 0.625 Mpts/s/chip north-star share,
+   "host_cores": N, "phases": {...seconds...}}
+
+The synthetic tile and the random-init flagship checkpoint are cached under
+/tmp so repeat runs time only the pipeline.
+
+Usage: python bench_e2e.py [--points 17000000] [--extent 1000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def _ensure_tile(path: str, n_points: int, extent: float) -> None:
+    """Synthesize a spatially-uniform classified tile.
+
+    Unlike the toy generator (whose buildings/water are fixed-size blobs
+    that would concentrate >100k points in single subtiles at 1 km scale),
+    density here is uniform — matching real Lidar HD, where a 50 m subtile
+    of a ~17 pt/m² tile holds ~40k raw points."""
+    if os.path.isfile(path):
+        return
+    import numpy as np
+
+    from myria3d_tpu.pctl.io.las import LasHeader, make_wkt_vlr_for_epsg, write_las
+
+    t0 = time.perf_counter()
+    rng = np.random.default_rng(7)
+    n = n_points
+    pts = np.zeros(n, dtype=np.dtype([
+        ("X", "<f8"), ("Y", "<f8"), ("Z", "<f8"),
+        ("Intensity", "<u2"), ("ReturnNumber", "u1"),
+        ("NumberOfReturns", "u1"), ("Classification", "u1"),
+        ("GpsTime", "<f8"),
+        ("Red", "<u2"), ("Green", "<u2"), ("Blue", "<u2"),
+        ("Infrared", "<u2"),
+    ]))
+    x0, y0 = 862000.0, 6652000.0
+    pts["X"] = rng.uniform(0, extent, n) + x0
+    pts["Y"] = rng.uniform(0, extent, n) + y0
+    cls = rng.choice(
+        np.array([2, 3, 4, 5, 6, 9, 17, 64, 65], np.uint8),
+        n,
+        p=[0.45, 0.08, 0.08, 0.14, 0.15, 0.04, 0.015, 0.005, 0.04],
+    )
+    z = rng.uniform(0.0, 2.0, n)
+    z = np.where(np.isin(cls, [3, 4, 5]), rng.uniform(0.5, 15.0, n), z)
+    z = np.where(cls == 6, rng.uniform(3.0, 12.0, n), z)
+    z = np.where(cls == 9, rng.uniform(-0.2, 0.0, n), z)
+    z = np.where(cls == 64, rng.uniform(0.0, 25.0, n), z)
+    pts["Z"] = z
+    pts["Classification"] = cls
+    pts["Intensity"] = rng.integers(0, 4000, n)
+    nr = rng.integers(1, 4, n).astype(np.uint8)
+    pts["NumberOfReturns"] = nr
+    pts["ReturnNumber"] = np.minimum(rng.integers(1, 4, n), nr)
+    rgb = rng.integers(5_000, 40_000, (n, 4))
+    pts["Red"], pts["Green"] = rgb[:, 0], rgb[:, 1]
+    pts["Blue"], pts["Infrared"] = rgb[:, 2], rgb[:, 3]
+    header = LasHeader(
+        version=(1, 4), point_format=8,
+        scales=(0.01, 0.01, 0.01), offsets=(x0, y0, 0.0),
+    )
+    header.vlrs.append(make_wkt_vlr_for_epsg(2154))
+    write_las(path, pts, header)
+    print(f"# synthesized {n_points / 1e6:.1f} Mpt tile in "
+          f"{time.perf_counter() - t0:.1f}s: {path}")
+
+
+def _ensure_ckpt(ckpt_dir: str, config) -> None:
+    if os.path.isdir(ckpt_dir) and os.path.isfile(
+        os.path.join(ckpt_dir, "hparams.yaml")
+    ):
+        return
+    import jax
+    import numpy as np
+
+    from myria3d_tpu.utils.config import _to_plain, instantiate
+
+    model = instantiate(config["model"])
+    model.raw_hparams = _to_plain(dict(config["model"]))
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": rng.uniform(0, 1, (2, 512, model.d_in)).astype(np.float32),
+        "pos": rng.uniform(-25, 25, (2, 512, 3)).astype(np.float32),
+        "y": np.zeros((2, 512), np.int32),
+        "mask": np.ones((2, 512), bool),
+    }
+    state = model.init_state(jax.random.PRNGKey(0), batch)
+    model.save_checkpoint(ckpt_dir, state, save_opt_state=False)
+    print(f"# saved random-init flagship checkpoint: {ckpt_dir}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", type=int, default=17_000_000)
+    ap.add_argument("--extent", type=float, default=1000.0)
+    ap.add_argument("--batch-size", type=int, default=16)
+    args = ap.parse_args()
+
+    from myria3d_tpu.utils.config import compose
+
+    tile = f"/tmp/myria3d_e2e_{args.points // 1_000_000}M_{int(args.extent)}m.las"
+    ckpt = "/tmp/myria3d_e2e_ckpt"
+    out_dir = "/tmp/myria3d_e2e_out"
+
+    _ensure_tile(tile, args.points, args.extent)
+
+    config = compose(
+        config_dir=os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs"),
+        overrides=[
+            "task.task_name=predict",
+            f"predict.src_las={tile}",
+            f"predict.ckpt_path={ckpt}",
+            f"predict.output_dir={out_dir}",
+            f"datamodule.epsg=2154",
+            f"datamodule.batch_size={args.batch_size}",
+            f"datamodule.tile_width={int(args.extent)}",
+        ],
+    )
+    _ensure_ckpt(ckpt, config)
+
+    # phase probe: host prep alone (read + binning), measured on the same
+    # tile so the JSON carries a host/device attribution
+    from myria3d_tpu.pctl.dataset.utils import (
+        read_las_array_as_float32,
+        split_cloud_into_samples,
+    )
+
+    t0 = time.perf_counter()
+    pts, _ = read_las_array_as_float32(tile, "2154")
+    t_read = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_binned = 0
+    for idx, _sub in split_cloud_into_samples(
+        tile, args.extent, 50, "2154", 0, points=pts
+    ):
+        n_binned += len(idx)
+    t_bin = time.perf_counter() - t0
+    del pts
+
+    from myria3d_tpu.predict import predict
+
+    t0 = time.perf_counter()
+    out_path = predict(config)
+    t_total = time.perf_counter() - t0
+    assert out_path and os.path.isfile(out_path)
+
+    mpts = args.points / 1e6 / t_total
+    baseline_per_chip = 5.0 / 8.0
+    print(json.dumps({
+        "metric": "predict_e2e_throughput",
+        "value": round(mpts, 3),
+        "unit": "Mpts/s/chip",
+        "vs_baseline": round(mpts / baseline_per_chip, 3),
+        "host_cores": os.cpu_count(),
+        "phases": {
+            "total_s": round(t_total, 1),
+            "las_read_s": round(t_read, 1),
+            "window_binning_s": round(t_bin, 1),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -121,6 +121,18 @@ def knn(
     q4 = _augment_queries(query_pos)
     k4 = _augment_keys(key_pos, key_mask)
 
+    if not exact:
+        # Fused Pallas path: distances never touch HBM; same binned-top-k
+        # approximation (and measured recall) as approx_min_k.
+        from myria3d_tpu.ops.pallas_knn import (
+            knn_pallas_available,
+            knn_topk_pallas,
+        )
+
+        if knn_pallas_available(k_eff, nk):
+            idx, d2 = knn_topk_pallas(q4, k4, k_eff)
+            return _finalize(idx, d2, k, k_eff, query_mask)
+
     single = functools.partial(
         _knn_single, k=k_eff, exact=exact, recall_target=recall_target
     )
@@ -145,6 +157,16 @@ def knn(
 
             idx, d2 = jax.vmap(lambda qb, kb: per_cloud((qb, kb)))(q4, k4)
 
+    return _finalize(idx, d2, k, k_eff, query_mask)
+
+
+def _finalize(
+    idx: jnp.ndarray,
+    d2: jnp.ndarray,
+    k: int,
+    k_eff: int,
+    query_mask: Optional[jnp.ndarray],
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     if k_eff < k:
         pad = ((0, 0), (0, 0), (0, k - k_eff))
         idx = jnp.pad(idx, pad)
