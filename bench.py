@@ -71,7 +71,9 @@ def main() -> None:
     # the loop device_gets it every iteration — on the tunneled axon backend
     # block_until_ready alone can report bogus sub-ms timings.
     interp = model.build_interp_step()
-    step = jax.jit(lambda *a: interp(*a).sum())
+    # f32 accumulate: the step ships f16 logits (wire format), whose sum
+    # overflows f16 at B*M scale
+    step = jax.jit(lambda *a: interp(*a).astype(jnp.float32).sum())
     args = (
         state, batch["x"], batch["pos"], batch["mask"], batch["pos"],
         jnp.asarray(full_pos), jnp.asarray(full_mask),

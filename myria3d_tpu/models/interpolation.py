@@ -60,7 +60,8 @@ class Interpolator:
             logits: (B, M, C) padded full-cloud logits from ``interp_step``.
             idx_in_original_cloud: list of B int arrays (ragged true lengths).
         """
-        logits = np.asarray(logits)
+        # upcast once: the device ships f16 logits to halve the transfer
+        logits = np.asarray(logits).astype(np.float32, copy=False)
         for b, idx in enumerate(idx_in_original_cloud):
             if idx is None:
                 continue

@@ -239,10 +239,11 @@ class Model:
                 mutable=["intermediates"],
             )
             idx, neigh_valid = aux["intermediates"]["block1"]["knn_graph"][0]
-            return graph_interpolate(
+            full = graph_interpolate(
                 logits, sampled_pos, mask, idx, neigh_valid,
                 full_pos, full_to_sampled, full_mask,
             )
+            return full.astype(jnp.float16)  # same wire format as interp_step
 
         return step
 
@@ -267,10 +268,15 @@ class Model:
                 state.params, state.batch_stats, x, pos, mask,
                 train=False, rngs={"decimation": rng}, mutable=False,
             )
-            return knn_interpolate(
+            full = knn_interpolate(
                 logits, sampled_pos, mask, full_pos, full_mask,
                 k=self.interpolation_k,
             )
+            # f16 on the wire: the (B, M, C) full-cloud logits are the
+            # predict loop's device->host payload; halving it matters on
+            # PCIe and dominates through tunneled backends. The host
+            # accumulator upcasts to f32 before the overlap merge.
+            return full.astype(jnp.float16)
 
         return step
 

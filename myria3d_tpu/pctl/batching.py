@@ -30,7 +30,9 @@ IGNORE_INDEX = 65
 # Padded point-count ladder: multiples of 128 with ~2x growth.
 DEFAULT_BUCKETS = (512, 1024, 2048, 4096, 8192, 16384, 24576, 32768, 40960)
 # Ladder for full (un-subsampled) subtile clouds used at eval/predict time.
-DEFAULT_FULL_BUCKETS = (1024, 4096, 8192, 16384, 32768, 65536, 98304, 131072)
+DEFAULT_FULL_BUCKETS = (
+    1024, 4096, 8192, 16384, 24576, 32768, 49152, 65536, 98304, 131072
+)
 
 
 # Growth quantum above the ladder top: coarse (one extra XLA compile per
