@@ -52,37 +52,28 @@ class LocalFeatureAggregation(nn.Module):
     def __call__(
         self,
         x: jnp.ndarray,            # (B, N, channels//2)
-        pos: jnp.ndarray,          # (B, N, 3)
-        idx: jnp.ndarray,          # (B, N, K) neighbor indices
-        neigh_valid: jnp.ndarray,  # (B, N, K) bool
+        relative_infos: jnp.ndarray,  # (B, 10, K, N) LocSE geometry (shared)
+        idx_t: jnp.ndarray,        # (B, K, N) neighbor indices (transposed)
+        nv_t: jnp.ndarray,         # (B, K, N) bool
         mask: jnp.ndarray,         # (B, N) bool — valid centers
         train: bool,
+        x_j: Optional[jnp.ndarray] = None,  # (B, C/2, K, N) pre-gathered
     ) -> jnp.ndarray:
         # Channels-first (B, C, K, N) internals: the large N axis rides the
         # lane dimension. The natural (B, N, K, C) layout tile-pads C=4-16
         # to 128 lanes, inflating every edge tensor 8-32x (perf_notes.md).
-        k = idx.shape[-1]
-        idx_t = jnp.swapaxes(idx, 1, 2)                        # (B, K, N)
-        nv_t = jnp.swapaxes(neigh_valid, 1, 2)                 # (B, K, N)
-        pos_cf = jnp.swapaxes(pos, 1, 2).astype(self.dtype)    # (B, 3, N)
-        x_cf = jnp.swapaxes(x, 1, 2)                           # (B, C/2, N)
-
-        gather_cf = jax.vmap(lambda t, i: t[:, i])             # -> (C, K, N)
-        pos_j = gather_cf(pos_cf, idx_t)                       # (B, 3, K, N)
-        pos_i = pos_cf[:, :, None, :]                          # (B, 3, 1, N)
-        pos_diff = pos_j - pos_i
-        distance = jnp.sqrt(
-            jnp.maximum(jnp.sum(pos_diff * pos_diff, axis=1, keepdims=True), 0.0)
-        )
-        relative_infos = jnp.concatenate(
-            [jnp.broadcast_to(pos_i, pos_j.shape), pos_j, pos_diff, distance],
-            axis=1,
-        )                                                      # (B, 10, K, N)
+        # The LocSE geometry tensor comes precomputed from the block: XLA
+        # gathers cost ~the same regardless of width (descriptor-bound), so
+        # the pos gather + 10-channel concat is built ONCE per block and
+        # shared by both LFAs (measured: each gather ~15-25 ms at the
+        # production 12k shape).
         local_spatial_encoding = SharedMLPCF(
             [self.channels // 2], bn_momentum=self.bn_momentum,
             dtype=self.dtype, name="mlp_encoder",
         )(relative_infos, nv_t, train)
-        x_j = gather_cf(x_cf, idx_t)                           # (B, C/2, K, N)
+        if x_j is None:
+            x_cf = jnp.swapaxes(x, 1, 2)                       # (B, C/2, N)
+            x_j = jax.vmap(lambda t, i: t[:, i])(x_cf, idx_t)  # (B, C/2, K, N)
         local_features = jnp.concatenate(
             [x_j, local_spatial_encoding], axis=1
         )                                                      # (B, C, K, N)
@@ -128,14 +119,36 @@ class DilatedResidualBlock(nn.Module):
                       dtype=self.dtype, name="mlp1")(
             x, mask, train
         )
+        # LocSE geometry, built once for both LFAs (they share the graph):
+        # (B, 10, K, N) = [pos_i, pos_j, pos_diff, |diff|] channels-first
+        idx_t = jnp.swapaxes(idx, 1, 2)                        # (B, K, N)
+        nv_t = jnp.swapaxes(neigh_valid, 1, 2)                 # (B, K, N)
+        pos_cf = jnp.swapaxes(pos, 1, 2).astype(self.dtype)    # (B, 3, N)
+        # ONE wide gather serves both the LocSE geometry and lfa1's
+        # neighbor features: XLA gathers are descriptor-bound, so fewer,
+        # wider gathers beat many narrow ones (~15-25 ms each at 12k).
+        x1_cf = jnp.swapaxes(x, 1, 2)                          # (B, C1, N)
+        g = jax.vmap(lambda t, i: t[:, i])(
+            jnp.concatenate([pos_cf, x1_cf], axis=1), idx_t
+        )                                                      # (B, 3+C1, K, N)
+        pos_j, x1_j = g[:, :3], g[:, 3:]
+        pos_i = pos_cf[:, :, None, :]                          # (B, 3, 1, N)
+        pos_diff = pos_j - pos_i
+        distance = jnp.sqrt(jnp.maximum(
+            jnp.sum(pos_diff * pos_diff, axis=1, keepdims=True), 0.0
+        ))
+        relative_infos = jnp.concatenate(
+            [jnp.broadcast_to(pos_i, pos_j.shape), pos_j, pos_diff, distance],
+            axis=1,
+        )                                                      # (B, 10, K, N)
         x = LocalFeatureAggregation(
             self.d_out // 4, bn_momentum=self.bn_momentum,
             dtype=self.dtype, name="lfa1",
-        )(x, pos, idx, neigh_valid, mask, train)
+        )(x, relative_infos, idx_t, nv_t, mask, train, x_j=x1_j)
         x = LocalFeatureAggregation(
             self.d_out // 2, bn_momentum=self.bn_momentum,
             dtype=self.dtype, name="lfa2",
-        )(x, pos, idx, neigh_valid, mask, train)
+        )(x, relative_infos, idx_t, nv_t, mask, train)
         x = SharedMLP([self.d_out], act=False, bn_momentum=self.bn_momentum,
                       dtype=self.dtype, name="mlp2")(
             x, mask, train
@@ -191,8 +204,15 @@ class RandLANet(nn.Module):
             dec_idx, dec_mask = random_decimation(
                 self.make_rng("decimation"), mask, self.decimation
             )
-            x = jax.vmap(lambda t, j: t[j])(x, dec_idx)
-            pos = jax.vmap(lambda t, j: t[j])(pos, dec_idx)
+            # one [x|pos] gather per stage (gathers are descriptor-bound);
+            # only when dtypes agree — pos must stay f32 for later-stage kNN
+            take = jax.vmap(lambda t, j: t[j])
+            if x.dtype == pos.dtype:
+                xp = take(jnp.concatenate([x, pos], axis=-1), dec_idx)
+                x, pos = xp[..., :-3], xp[..., -3:]
+            else:
+                x = take(x, dec_idx)
+                pos = take(pos, dec_idx)
             mask = dec_mask
             if i < len(widths) - 1:
                 skips.append((x, pos, mask))
