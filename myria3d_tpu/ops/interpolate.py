@@ -48,6 +48,11 @@ def knn_interpolate(
     idx, d2, neigh_valid = knn(pos_tgt, pos_src, src_mask, k, query_mask=tgt_mask)
     w = 1.0 / jnp.maximum(d2, 1e-16)                    # (B, Nt, K)
     w = jnp.where(neigh_valid, w, 0.0)
+    # NOTE: a channels-first (B, C, K, Nt) gather was tried here (like the
+    # LFA internals) and measured WORSE end-to-end — at Nt=32k the (C, Ns)
+    # source table relayout + (C, K, Nt) sublane padding cost more than the
+    # lane padding of this form, and compile time exploded. Keep the
+    # straightforward row gather.
     feats = gather_neighbors(x, idx)                     # (B, Nt, K, C)
     num = jnp.sum(feats * w[..., None], axis=2)          # (B, Nt, C)
     den = jnp.sum(w, axis=2, keepdims=False)[..., None]
