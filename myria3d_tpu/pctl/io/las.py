@@ -8,11 +8,13 @@ classification / per-class probabilities / entropy back into new LAS dims.
 
 Point formats 0–3 (LAS 1.2/1.3) and 6–8 (LAS 1.4) are supported, plus
 arbitrary extra-bytes dimensions. LAZ is read AND written for point formats
-0–3 (+extra bytes) through the self-contained native LASzip codec
-(``pctl/native/laszip_native.cpp``: pointwise-chunked compressor, item
-version 2) — French Lidar HD's production distribution format. LAS 1.4
-layered LAZ (compressor 3, formats 6+) is detected and rejected with a
-clear error.
+0–3 (pointwise-chunked compressor 2, item version 2) and 6–8 (LAS 1.4
+layered compressor 3, item version 3) through the self-contained native
+LASzip codec (``pctl/native/laszip_native.cpp``) — French Lidar HD's
+production distribution formats. The layered container layout is validated
+against laszip-produced files; the v3 entropy models are reconstructed from
+the LASzip specification with a per-layer consumption guard that turns any
+producer/model mismatch into a hard error instead of silent corruption.
 
 This module is pure host-side I/O — it never touches the accelerator.
 """
@@ -187,13 +189,19 @@ def _is_laz(path: str, point_format_byte: int, vlrs: Sequence[LasVLR]) -> bool:
 
 _LASZIP_USER_ID = "laszip encoded"
 _LASZIP_RECORD_ID = 22204
-# laszip VLR item types (spec): BYTE=0, POINT10=6, GPSTIME11=7, RGB12=8
+# laszip VLR item types (spec): BYTE=0, POINT10=6, GPSTIME11=7, RGB12=8,
+# POINT14=10, RGB14=11, RGBNIR14=12, BYTE14=14
 _LAZ_ITEMS_BY_FORMAT = {
     0: [(6, 20)],
     1: [(6, 20), (7, 8)],
     2: [(6, 20), (8, 6)],
     3: [(6, 20), (7, 8), (8, 6)],
+    # LAS 1.4 layered formats (compressor 3, item version 3)
+    6: [(10, 30)],
+    7: [(10, 30), (11, 6)],
+    8: [(10, 30), (12, 8)],
 }
+_LAYERED_FORMATS = (6, 7, 8)
 
 
 def _parse_laszip_vlr(vlrs: Sequence[LasVLR]) -> Optional[dict]:
@@ -204,9 +212,12 @@ def _parse_laszip_vlr(vlrs: Sequence[LasVLR]) -> Optional[dict]:
             d = v.data
             if len(d) < 34:
                 raise ValueError("laszip VLR too short")
-            compressor, coder = struct.unpack_from("<HB", d, 0)
-            version = (d[3], d[4], struct.unpack_from("<H", d, 5)[0])
-            chunk_size, = struct.unpack_from("<i", d, 11)
+            # spec layout: compressor u16 @0, coder u16 @2, version u8 @4 /
+            # u8 @5 / u16 @6, options u32 @8, chunk_size u32 @12,
+            # special-EVLR i64 pair @16/@24, num_items u16 @32
+            compressor, coder = struct.unpack_from("<HH", d, 0)
+            version = (d[4], d[5], struct.unpack_from("<H", d, 6)[0])
+            chunk_size, = struct.unpack_from("<i", d, 12)
             num_items, = struct.unpack_from("<H", d, 32)
             items = []
             for k in range(num_items):
@@ -223,20 +234,23 @@ def _parse_laszip_vlr(vlrs: Sequence[LasVLR]) -> Optional[dict]:
 
 
 def _make_laszip_vlr(point_format: int, extra_len: int, chunk_size: int) -> LasVLR:
-    """laszip VLR for a pointwise-chunked (compressor 2) item-version-2 file."""
+    """laszip VLR: pointwise-chunked compressor 2 / item version 2 for the
+    classic formats 0-3, layered compressor 3 / item version 3 for the
+    LAS 1.4 formats 6-8."""
+    layered = point_format in _LAYERED_FORMATS
     items = list(_LAZ_ITEMS_BY_FORMAT[point_format])
     if extra_len > 0:
-        items.append((0, extra_len))
+        items.append((14 if layered else 0, extra_len))
     d = bytearray(34 + 6 * len(items))
-    struct.pack_into("<HB", d, 0, 2, 0)          # compressor 2, arithmetic coder
-    d[3], d[4] = 2, 2                             # version 2.2
-    struct.pack_into("<H", d, 5, 0)               # revision
-    struct.pack_into("<I", d, 7, 0)               # options
-    struct.pack_into("<i", d, 11, chunk_size)
-    struct.pack_into("<qq", d, 15, -1, -1)        # no special EVLRs
+    struct.pack_into("<HH", d, 0, 3 if layered else 2, 0)  # compressor, coder
+    d[4], d[5] = (3, 4) if layered else (2, 2)             # laszip version
+    struct.pack_into("<H", d, 6, 0)               # revision
+    struct.pack_into("<I", d, 8, 0)               # options
+    struct.pack_into("<i", d, 12, chunk_size)
+    struct.pack_into("<qq", d, 16, -1, -1)        # no special EVLRs
     struct.pack_into("<H", d, 32, len(items))
     for k, (t, s) in enumerate(items):
-        struct.pack_into("<HHH", d, 34 + 6 * k, t, s, 2)
+        struct.pack_into("<HHH", d, 34 + 6 * k, t, s, 3 if layered else 2)
     return LasVLR(_LASZIP_USER_ID, _LASZIP_RECORD_ID, "by myria3d_tpu", bytes(d))
 
 
@@ -411,22 +425,19 @@ def _read_laz_points(path: str, header: LasHeader, dt: np.dtype) -> np.ndarray:
     laszip = _parse_laszip_vlr(header.vlrs)
     if laszip is None:
         raise ValueError(f"{path}: LAZ flagged but no laszip VLR found")
-    if laszip["compressor"] == 3:
-        raise NotImplementedError(
-            f"{path}: LAS 1.4 layered LAZ (compressor 3, point formats 6+) "
-            "is not supported yet; recompress as point format 0-3 LAZ or "
-            "decompress to .las."
-        )
-    if laszip["compressor"] not in (1, 2):
+    layered = laszip["compressor"] == 3
+    if laszip["compressor"] not in (1, 2, 3):
         raise NotImplementedError(
             f"{path}: unsupported LAZ compressor {laszip['compressor']}"
         )
+    want_ver = 3 if layered else 2
     items = []
     for t, s, ver in laszip["items"]:
-        if ver != 2:
+        if ver != want_ver:
             raise NotImplementedError(
                 f"{path}: LAZ item type {t} version {ver} not supported "
-                "(only item version 2)"
+                f"(expected item version {want_ver} for "
+                f"compressor {laszip['compressor']})"
             )
         items.append((t, s))
     point_size = sum(s for _, s in items)
@@ -437,13 +448,14 @@ def _read_laz_points(path: str, header: LasHeader, dt: np.dtype) -> np.ndarray:
         )
     with open(path, "rb") as f:
         file_bytes = f.read()
-    chunk_size = laszip["chunk_size"] if laszip["compressor"] == 2 else 0
+    chunk_size = laszip["chunk_size"] if laszip["compressor"] in (2, 3) else 0
     out = laz_decompress_points(
         file_bytes,
         header._point_offset,  # type: ignore[attr-defined]
         header.point_count,
         chunk_size,
         items,
+        layered=layered,
     )
     if out is None:
         raise RuntimeError(
@@ -617,8 +629,7 @@ def write_las(
     if as_laz:
         if fmt not in _LAZ_ITEMS_BY_FORMAT:
             raise NotImplementedError(
-                f"LAZ write supports point formats 0-3 (got {fmt}); "
-                "write .las for formats 6+."
+                f"LAZ write supports point formats 0-3 and 6-8 (got {fmt})"
             )
         extra_len = dt.itemsize - _STANDARD_SIZES[fmt]
         vlrs.append(_make_laszip_vlr(fmt, extra_len, laz_chunk_size))
@@ -650,12 +661,13 @@ def write_las(
     if as_laz:
         from myria3d_tpu.pctl.native import laz_compress_points
 
+        layered = fmt in _LAYERED_FORMATS
         items = list(_LAZ_ITEMS_BY_FORMAT[fmt])
         extra_len = dt.itemsize - _STANDARD_SIZES[fmt]
         if extra_len > 0:
-            items.append((0, extra_len))
+            items.append((14 if layered else 0, extra_len))
         laz_blob = laz_compress_points(
-            raw, n, point_offset, laz_chunk_size, items
+            raw, n, point_offset, laz_chunk_size, items, layered=layered
         )
         if laz_blob is None:
             raise RuntimeError(

@@ -199,6 +199,10 @@ def get_laz_lib() -> Optional[ctypes.CDLL]:
         u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
         i32p, i32p, ctypes.c_int32, u8p, ctypes.c_int64,
     ]
+    lib.laz_decompress_layered.restype = ctypes.c_int64
+    lib.laz_decompress_layered.argtypes = list(lib.laz_decompress.argtypes)
+    lib.laz_compress_layered.restype = ctypes.c_int64
+    lib.laz_compress_layered.argtypes = list(lib.laz_compress.argtypes)
     _laz_lib = lib
     return _laz_lib
 
@@ -213,12 +217,15 @@ def laz_decompress_points(
     num_points: int,
     chunk_size: int,
     items: "list[tuple[int, int]]",
+    layered: bool = False,
 ) -> Optional[np.ndarray]:
-    """Decode a pointwise-chunked LAZ point block → raw point-record bytes.
+    """Decode a chunked LAZ point block → raw point-record bytes.
 
-    ``items`` is the laszip VLR item list as (type, size) pairs. Returns a
-    uint8 array of shape (num_points * point_size,), or None when the native
-    codec is unavailable. Raises ValueError on malformed streams.
+    ``items`` is the laszip VLR item list as (type, size) pairs;
+    ``layered=True`` selects the compressor-3 (LAS 1.4 point formats 6+)
+    layered decoder. Returns a uint8 array of shape
+    (num_points * point_size,), or None when the native codec is
+    unavailable. Raises ValueError on malformed streams.
     """
     lib = get_laz_lib()
     if lib is None:
@@ -228,7 +235,8 @@ def laz_decompress_points(
     sizes = np.asarray([s for _, s in items], np.int32)
     point_size = int(sizes.sum())
     out = np.empty(num_points * point_size, np.uint8)
-    got = lib.laz_decompress(
+    fn = lib.laz_decompress_layered if layered else lib.laz_decompress
+    got = fn(
         _u8ptr(buf), ctypes.c_int64(len(file_bytes)),
         ctypes.c_int64(point_offset), ctypes.c_int64(num_points),
         ctypes.c_int32(chunk_size),
@@ -236,6 +244,11 @@ def laz_decompress_points(
         sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         ctypes.c_int32(len(items)), _u8ptr(out),
     )
+    if got == -8:
+        raise ValueError(
+            "LAZ layer-stream desync: the file's entropy models do not "
+            "match this decoder (please report with the producing software)"
+        )
     if got < 0:
         raise ValueError(f"LAZ decompression failed (code {got})")
     if got != num_points:
@@ -249,9 +262,11 @@ def laz_compress_points(
     point_offset: int,
     chunk_size: int,
     items: "list[tuple[int, int]]",
+    layered: bool = False,
 ) -> Optional[bytes]:
-    """Encode raw point records into a pointwise-chunked LAZ point block
-    (chunk-table pointer + chunks + compressed chunk table)."""
+    """Encode raw point records into a chunked LAZ point block (chunk-table
+    pointer + chunks + compressed chunk table); ``layered=True`` emits the
+    compressor-3 layered container for LAS 1.4 point formats 6+."""
     lib = get_laz_lib()
     if lib is None:
         return None
@@ -260,7 +275,8 @@ def laz_compress_points(
     sizes = np.asarray([s for _, s in items], np.int32)
     cap = int(raw.nbytes + raw.nbytes // 4 + 65536)
     out = np.empty(cap, np.uint8)
-    n = lib.laz_compress(
+    fn = lib.laz_compress_layered if layered else lib.laz_compress
+    n = fn(
         _u8ptr(raw), ctypes.c_int64(num_points),
         ctypes.c_int64(point_offset), ctypes.c_int32(chunk_size),
         types.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

@@ -13,6 +13,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <functional>
 #include <vector>
 
 typedef uint8_t U8;
@@ -204,6 +205,12 @@ struct Encoder {
     }
     if (init_base > base) propagate_carry();
     renorm();
+    // laszip's encoder pads three zero bytes so the decoder's 4-byte init
+    // never borrows from whatever follows the stream (verified against a
+    // laszip-produced layered file: an empty stream flushes as 01 00 00 00)
+    out->push_back(0);
+    out->push_back(0);
+    out->push_back(0);
   }
 };
 
@@ -1087,6 +1094,852 @@ struct Bytev2 : ItemCodec {
 };
 
 // ---------------------------------------------------------------------------
+// Layered item codecs (version 3 — LAS 1.4 point formats 6-10, compressor 3)
+//
+// Container layout verified against a laszip-produced layered file
+// (/root/reference/tests/data/single-point-cloud.laz): each chunk is
+// [raw first point][u32 point count][u32 layer sizes, all items][layer
+// byte streams, same order]; a layer of size 0 means the field never
+// changed within the chunk (the reader reuses the last value and consumes
+// no bits). Entropy models are reconstructed from the published LASzip
+// specification; the writer and reader share them, so round trips are
+// exact by construction. Every layer decoder's consumption is checked at
+// chunk end — a model mismatch against a foreign producer surfaces as a
+// hard error, never silent corruption.
+// ---------------------------------------------------------------------------
+
+// v3 context maps: 6-way return context and 8-level return level for the
+// 16x16 (return, count) space of LAS 1.4.
+static inline U8 map6ctx(U32 n, U32 r) {
+  if (n <= 1) return (r <= 1) ? 0 : 1;
+  if (r == 1) return 1;        // first of many
+  if (r >= n) return 2;        // last of many
+  if (r == 2) return 3;        // second
+  if (r + 1 >= n) return 4;    // second to last
+  return 5;                    // intermediate
+}
+static inline U8 level8ctx(U32 n, U32 r) {
+  U32 d = (n > r) ? (n - r) : (r - n);
+  return (U8)(d > 7 ? 7 : d);
+}
+
+// One entropy-model bundle per scanner channel (4 contexts).
+struct Point14Ctx {
+  bool unused = true;
+  U8 last[30];
+  bool last_gps_change = false;
+  U16 last_intensity[8];
+  StreamingMedian5 mx[12], my[12];
+  I32 last_Z[8];
+  SymbolModel m_changed_values[8];      // 128 syms
+  SymbolModel m_scanner_channel;        // 3
+  SymbolModel m_number_of_returns[16];  // 16, lazy
+  SymbolModel m_return_number[16];      // 16, lazy
+  SymbolModel m_return_number_gps_same; // 13
+  IntegerCompressor ic_dX, ic_dY, ic_Z;
+  SymbolModel m_classification[64];     // 256, lazy
+  SymbolModel m_flags[64];              // 64, lazy
+  SymbolModel m_user_data[64];          // 256, lazy
+  IntegerCompressor ic_intensity, ic_scan_angle, ic_point_source;
+  // per-context GPS time (v2 scheme)
+  SymbolModel m_gpstime_multi, m_gpstime_0diff;
+  IntegerCompressor ic_gpstime;
+  U32 gps_last = 0, gps_next = 0;
+  U64 last_gpstime[4];
+  I32 last_gpstime_diff[4];
+  I32 multi_extreme_counter[4];
+
+  void create(const U8* first, bool encoder) {
+    unused = false;
+    std::memcpy(last, first, 30);
+    last_gps_change = false;
+    for (int i = 0; i < 8; ++i) last_intensity[i] = rd_u16(first + 12);
+    for (int i = 0; i < 12; ++i) { mx[i].init(); my[i].init(); }
+    for (int i = 0; i < 8; ++i) last_Z[i] = rd_i32(first + 8);
+    for (int i = 0; i < 8; ++i) m_changed_values[i].create(128, encoder);
+    m_scanner_channel.create(3, encoder);
+    for (int i = 0; i < 16; ++i) {
+      m_number_of_returns[i].symbols = 0;  // lazy
+      m_return_number[i].symbols = 0;
+    }
+    m_return_number_gps_same.create(13, encoder);
+    ic_dX.setup(32, 2); ic_dX.init(encoder);
+    ic_dY.setup(32, 22); ic_dY.init(encoder);
+    ic_Z.setup(32, 20); ic_Z.init(encoder);
+    for (int i = 0; i < 64; ++i) {
+      m_classification[i].symbols = 0;
+      m_flags[i].symbols = 0;
+      m_user_data[i].symbols = 0;
+    }
+    ic_intensity.setup(16, 4); ic_intensity.init(encoder);
+    ic_scan_angle.setup(16, 2); ic_scan_angle.init(encoder);
+    ic_point_source.setup(16, 1); ic_point_source.init(encoder);
+    m_gpstime_multi.create(GPSTIME_MULTI_TOTAL, encoder);
+    m_gpstime_0diff.create(6, encoder);
+    ic_gpstime.setup(32, 9); ic_gpstime.init(encoder);
+    gps_last = gps_next = 0;
+    for (int i = 0; i < 4; ++i) {
+      last_gpstime[i] = 0;
+      last_gpstime_diff[i] = 0;
+      multi_extreme_counter[i] = 0;
+    }
+    last_gpstime[0] = rd_u64(first + 22);
+  }
+};
+
+// Layer stream bookkeeping: an encoder+buffer (write) or decoder (read)
+// plus a "was anything coded that differs" flag driving 0-size emission.
+struct Layer {
+  std::vector<U8> bytes;   // write side
+  Encoder enc;
+  Decoder dec;
+  U32 num_bytes = 0;       // read side: size from chunk header
+  bool changed = false;
+
+  void start_write() { bytes.clear(); enc.init(&bytes); changed = false; }
+  void finish_write() { enc.done(); }
+  bool present() const { return num_bytes > 0; }
+};
+
+// ---- POINT14 v3 (30 bytes) ----
+// layout: X i32 @0, Y @4, Z @8, intensity u16 @12, returns u8 @14
+// (ret 0-3, count 4-7), flags u8 @15 (classification flags 0-3, scanner
+// channel 4-5, scan direction 6, edge 7), classification u8 @16,
+// user_data u8 @17, scan_angle i16 @18, point_source u16 @20, gps f64 @22.
+struct Point14v3 {
+  enum { L_XY = 0, L_Z, L_CLS, L_FLAGS, L_INT, L_ANG, L_UD, L_SRC, L_GPS,
+         NUM_LAYERS };
+  Layer layers[NUM_LAYERS];
+  Point14Ctx ctx[4];
+  U32 cur = 0;
+  bool encoder_mode = false;
+
+  U32 size() const { return 30; }
+  U32 num_layers() const { return NUM_LAYERS; }
+
+  void init_chunk(const U8* first, bool encoder) {
+    encoder_mode = encoder;
+    for (int c = 0; c < 4; ++c) ctx[c].unused = true;
+    cur = (first[15] >> 4) & 3;  // scanner channel of the first point
+    ctx[cur].create(first, encoder);
+    if (encoder)
+      for (auto& l : layers) l.start_write();
+  }
+
+  // ---- per-context GPS time (v2 algorithm over the gps layer) ----
+  void read_gps(Point14Ctx& c) {
+    Decoder& dec = layers[L_GPS].dec;
+    I32 multi;
+    if (c.last_gpstime_diff[c.gps_last] == 0) {
+      multi = (I32)dec.decodeSymbol(c.m_gpstime_0diff);
+      if (multi == 1) {
+        c.last_gpstime_diff[c.gps_last] = c.ic_gpstime.decompress(dec, 0, 0);
+        c.last_gpstime[c.gps_last] = (U64)((I64)c.last_gpstime[c.gps_last] +
+                                           c.last_gpstime_diff[c.gps_last]);
+        c.multi_extreme_counter[c.gps_last] = 0;
+      } else if (multi == 2) {
+        c.gps_next = (c.gps_next + 1) & 3;
+        U64 hi = (U64)(U32)c.ic_gpstime.decompress(
+            dec, (I32)(c.last_gpstime[c.gps_last] >> 32), 8);
+        c.last_gpstime[c.gps_next] = (hi << 32) | (U64)dec.readInt();
+        c.gps_last = c.gps_next;
+        c.last_gpstime_diff[c.gps_last] = 0;
+        c.multi_extreme_counter[c.gps_last] = 0;
+      } else if (multi > 2) {
+        c.gps_last = (c.gps_last + (U32)multi - 2) & 3;
+        read_gps(c);
+        return;
+      }
+    } else {
+      multi = (I32)dec.decodeSymbol(c.m_gpstime_multi);
+      if (multi == 1) {
+        c.last_gpstime[c.gps_last] =
+            (U64)((I64)c.last_gpstime[c.gps_last] +
+                  c.ic_gpstime.decompress(
+                      dec, c.last_gpstime_diff[c.gps_last], 1));
+        c.multi_extreme_counter[c.gps_last] = 0;
+      } else if (multi < GPSTIME_MULTI_UNCHANGED) {
+        I32 d;
+        if (multi == 0) {
+          d = c.ic_gpstime.decompress(dec, 0, 7);
+          if (++c.multi_extreme_counter[c.gps_last] > 3) {
+            c.last_gpstime_diff[c.gps_last] = d;
+            c.multi_extreme_counter[c.gps_last] = 0;
+          }
+        } else if (multi < GPSTIME_MULTI) {
+          d = c.ic_gpstime.decompress(
+              dec, multi * c.last_gpstime_diff[c.gps_last],
+              (multi < 10) ? 2 : 3);
+        } else if (multi == GPSTIME_MULTI) {
+          d = c.ic_gpstime.decompress(
+              dec, GPSTIME_MULTI * c.last_gpstime_diff[c.gps_last], 4);
+          if (++c.multi_extreme_counter[c.gps_last] > 3) {
+            c.last_gpstime_diff[c.gps_last] = d;
+            c.multi_extreme_counter[c.gps_last] = 0;
+          }
+        } else {
+          multi = GPSTIME_MULTI - multi;
+          if (multi > GPSTIME_MULTI_MINUS) {
+            d = c.ic_gpstime.decompress(
+                dec, multi * c.last_gpstime_diff[c.gps_last], 5);
+          } else {
+            d = c.ic_gpstime.decompress(
+                dec, GPSTIME_MULTI_MINUS * c.last_gpstime_diff[c.gps_last], 6);
+            if (++c.multi_extreme_counter[c.gps_last] > 3) {
+              c.last_gpstime_diff[c.gps_last] = d;
+              c.multi_extreme_counter[c.gps_last] = 0;
+            }
+          }
+        }
+        c.last_gpstime[c.gps_last] =
+            (U64)((I64)c.last_gpstime[c.gps_last] + d);
+      } else if (multi == GPSTIME_MULTI_CODE_FULL) {
+        c.gps_next = (c.gps_next + 1) & 3;
+        U64 hi = (U64)(U32)c.ic_gpstime.decompress(
+            dec, (I32)(c.last_gpstime[c.gps_last] >> 32), 8);
+        c.last_gpstime[c.gps_next] = (hi << 32) | (U64)dec.readInt();
+        c.gps_last = c.gps_next;
+        c.last_gpstime_diff[c.gps_last] = 0;
+        c.multi_extreme_counter[c.gps_last] = 0;
+      } else if (multi > GPSTIME_MULTI_CODE_FULL) {
+        c.gps_last = (c.gps_last + (U32)multi - GPSTIME_MULTI_CODE_FULL) & 3;
+        read_gps(c);
+        return;
+      }
+    }
+  }
+
+  void write_gps(Point14Ctx& c, U64 this_gpstime) {
+    Encoder& enc = layers[L_GPS].enc;
+    if (c.last_gpstime_diff[c.gps_last] == 0) {
+      I64 diff64 = (I64)this_gpstime - (I64)c.last_gpstime[c.gps_last];
+      I32 diff = (I32)diff64;
+      if (diff64 == (I64)diff) {
+        enc.encodeSymbol(c.m_gpstime_0diff, 1);
+        c.ic_gpstime.compress(enc, 0, diff, 0);
+        c.last_gpstime_diff[c.gps_last] = diff;
+        c.multi_extreme_counter[c.gps_last] = 0;
+        c.last_gpstime[c.gps_last] = this_gpstime;
+      } else {
+        for (U32 i = 1; i < 4; ++i) {
+          I64 o = (I64)this_gpstime -
+                  (I64)c.last_gpstime[(c.gps_last + i) & 3];
+          if (o == (I64)(I32)o) {
+            enc.encodeSymbol(c.m_gpstime_0diff, i + 2);
+            c.gps_last = (c.gps_last + i) & 3;
+            write_gps(c, this_gpstime);
+            return;
+          }
+        }
+        enc.encodeSymbol(c.m_gpstime_0diff, 2);
+        c.ic_gpstime.compress(enc, (I32)(c.last_gpstime[c.gps_last] >> 32),
+                              (I32)(this_gpstime >> 32), 8);
+        enc.writeInt((U32)this_gpstime);
+        c.gps_next = (c.gps_next + 1) & 3;
+        c.gps_last = c.gps_next;
+        c.last_gpstime_diff[c.gps_last] = 0;
+        c.multi_extreme_counter[c.gps_last] = 0;
+        c.last_gpstime[c.gps_last] = this_gpstime;
+      }
+    } else {
+      I64 diff64 = (I64)this_gpstime - (I64)c.last_gpstime[c.gps_last];
+      I32 diff = (I32)diff64;
+      if (diff64 == (I64)diff) {
+        double mf = (double)diff / (double)c.last_gpstime_diff[c.gps_last];
+        I32 multi = (I32)(mf >= 0 ? mf + 0.5 : mf - 0.5);
+        if (multi == 1) {
+          enc.encodeSymbol(c.m_gpstime_multi, 1);
+          c.ic_gpstime.compress(enc, c.last_gpstime_diff[c.gps_last], diff, 1);
+          c.multi_extreme_counter[c.gps_last] = 0;
+        } else if (multi > 0) {
+          if (multi < GPSTIME_MULTI) {
+            enc.encodeSymbol(c.m_gpstime_multi, (U32)multi);
+            c.ic_gpstime.compress(enc,
+                                  multi * c.last_gpstime_diff[c.gps_last],
+                                  diff, (multi < 10) ? 2 : 3);
+          } else {
+            enc.encodeSymbol(c.m_gpstime_multi, GPSTIME_MULTI);
+            c.ic_gpstime.compress(
+                enc, GPSTIME_MULTI * c.last_gpstime_diff[c.gps_last], diff, 4);
+            if (++c.multi_extreme_counter[c.gps_last] > 3) {
+              c.last_gpstime_diff[c.gps_last] = diff;
+              c.multi_extreme_counter[c.gps_last] = 0;
+            }
+          }
+        } else if (multi < 0) {
+          if (multi > GPSTIME_MULTI_MINUS) {
+            enc.encodeSymbol(c.m_gpstime_multi, (U32)(GPSTIME_MULTI - multi));
+            c.ic_gpstime.compress(enc,
+                                  multi * c.last_gpstime_diff[c.gps_last],
+                                  diff, 5);
+          } else {
+            enc.encodeSymbol(
+                c.m_gpstime_multi,
+                (U32)(GPSTIME_MULTI - GPSTIME_MULTI_MINUS));
+            c.ic_gpstime.compress(
+                enc, GPSTIME_MULTI_MINUS * c.last_gpstime_diff[c.gps_last],
+                diff, 6);
+            if (++c.multi_extreme_counter[c.gps_last] > 3) {
+              c.last_gpstime_diff[c.gps_last] = diff;
+              c.multi_extreme_counter[c.gps_last] = 0;
+            }
+          }
+        } else {
+          enc.encodeSymbol(c.m_gpstime_multi, 0);
+          c.ic_gpstime.compress(enc, 0, diff, 7);
+          if (++c.multi_extreme_counter[c.gps_last] > 3) {
+            c.last_gpstime_diff[c.gps_last] = diff;
+            c.multi_extreme_counter[c.gps_last] = 0;
+          }
+        }
+        c.last_gpstime[c.gps_last] = this_gpstime;
+      } else {
+        for (U32 i = 1; i < 4; ++i) {
+          I64 o = (I64)this_gpstime -
+                  (I64)c.last_gpstime[(c.gps_last + i) & 3];
+          if (o == (I64)(I32)o) {
+            enc.encodeSymbol(c.m_gpstime_multi,
+                             (U32)(GPSTIME_MULTI_CODE_FULL + (I32)i));
+            c.gps_last = (c.gps_last + i) & 3;
+            write_gps(c, this_gpstime);
+            return;
+          }
+        }
+        enc.encodeSymbol(c.m_gpstime_multi, GPSTIME_MULTI_CODE_FULL);
+        c.ic_gpstime.compress(enc, (I32)(c.last_gpstime[c.gps_last] >> 32),
+                              (I32)(this_gpstime >> 32), 8);
+        enc.writeInt((U32)this_gpstime);
+        c.gps_next = (c.gps_next + 1) & 3;
+        c.gps_last = c.gps_next;
+        c.last_gpstime_diff[c.gps_last] = 0;
+        c.multi_extreme_counter[c.gps_last] = 0;
+        c.last_gpstime[c.gps_last] = this_gpstime;
+      }
+    }
+  }
+
+  // ---- decode one point into item; context reported for chained items ----
+  void read(U8* item, U32& context) {
+    Point14Ctx* c = &ctx[cur];
+    // the changed-values symbol is decoded with the PRE-switch context's
+    // model (the reader cannot know the new channel yet)...
+    U32 changed;
+    {
+      const U8 plr = c->last[14] & 0x0F;
+      const U8 pln = (c->last[14] >> 4) & 0x0F;
+      U32 lpr = (plr == 1 ? 1u : 0u) + (plr >= pln ? 2u : 0u) +
+                (c->last_gps_change ? 4u : 0u);
+      changed = layers[L_XY].dec.decodeSymbol(c->m_changed_values[lpr]);
+    }
+    if (changed & 64) {  // scanner channel changed
+      U32 diff = layers[L_XY].dec.decodeSymbol(c->m_scanner_channel);
+      U32 sc = (cur + diff + 1) & 3;
+      // a revisited channel context keeps its OWN last point; only a fresh
+      // one is seeded from the current context's last point
+      if (ctx[sc].unused) ctx[sc].create(c->last, false);
+      cur = sc;
+      c = &ctx[cur];
+    }
+    context = cur;
+    // ...but every field below is relative to the POST-switch context
+    const U8 lr = c->last[14] & 0x0F;          // last return number
+    const U8 ln = (c->last[14] >> 4) & 0x0F;   // last number of returns
+    const bool gps_change = (changed & 16) != 0;
+
+    U32 n;
+    if (changed & 4) {
+      if (c->m_number_of_returns[ln].symbols == 0)
+        c->m_number_of_returns[ln].create(16, false);
+      n = layers[L_XY].dec.decodeSymbol(c->m_number_of_returns[ln]);
+    } else {
+      n = ln;
+    }
+
+    U32 r;
+    switch (changed & 3) {
+      case 0: r = lr; break;
+      case 1: r = (lr + 1) & 15; break;
+      case 2: r = (lr + 15) & 15; break;
+      default:
+        if (gps_change) {
+          if (c->m_return_number[lr].symbols == 0)
+            c->m_return_number[lr].create(16, false);
+          r = layers[L_XY].dec.decodeSymbol(c->m_return_number[lr]);
+        } else {
+          r = (lr + layers[L_XY].dec.decodeSymbol(
+                        c->m_return_number_gps_same) + 2) & 15;
+        }
+        break;
+    }
+
+    const U32 m = map6ctx(n, r);
+    const U32 l = level8ctx(n, r);
+    const U32 cpr = (r == 1 ? 2u : 0u) + (r >= n ? 1u : 0u);
+
+    // X, Y from the XY layer
+    I32 median = c->mx[(m << 1) | (gps_change ? 1 : 0)].get();
+    I32 diff = c->ic_dX.decompress(layers[L_XY].dec, median, n == 1);
+    I32 X = rd_i32(c->last + 0) + diff;
+    c->mx[(m << 1) | (gps_change ? 1 : 0)].add(diff);
+
+    U32 kx = c->ic_dX.getK();
+    median = c->my[(m << 1) | (gps_change ? 1 : 0)].get();
+    diff = c->ic_dY.decompress(
+        layers[L_XY].dec, median,
+        (n == 1 ? 1u : 0u) + (kx < 20 ? (kx & ~1u) : 20u));
+    I32 Y = rd_i32(c->last + 4) + diff;
+    c->my[(m << 1) | (gps_change ? 1 : 0)].add(diff);
+
+    // Z from its own layer
+    I32 Z;
+    if (layers[L_Z].present()) {
+      U32 kz = (kx + c->ic_dY.getK()) / 2;
+      Z = c->ic_Z.decompress(
+          layers[L_Z].dec, c->last_Z[l],
+          (n == 1 ? 1u : 0u) + (kz < 18 ? (kz & ~1u) : 18u));
+      c->last_Z[l] = Z;
+    } else {
+      Z = rd_i32(c->last + 8);
+    }
+
+    U8 classification = c->last[16];
+    if (layers[L_CLS].present()) {
+      U32 ccc = (((U32)(classification & 0x1F)) << 1) | (cpr == 3 ? 1 : 0);
+      if (c->m_classification[ccc].symbols == 0)
+        c->m_classification[ccc].create(256, false);
+      classification =
+          (U8)layers[L_CLS].dec.decodeSymbol(c->m_classification[ccc]);
+    }
+
+    U8 flag_bits = (U8)((c->last[15] & 0x0F) | ((c->last[15] >> 2) & 0x30));
+    if (layers[L_FLAGS].present()) {
+      if (c->m_flags[flag_bits].symbols == 0)
+        c->m_flags[flag_bits].create(64, false);
+      flag_bits = (U8)layers[L_FLAGS].dec.decodeSymbol(c->m_flags[flag_bits]);
+    }
+
+    U16 intensity = rd_u16(c->last + 12);
+    if (layers[L_INT].present()) {
+      intensity = (U16)c->ic_intensity.decompress(
+          layers[L_INT].dec,
+          c->last_intensity[(cpr << 1) | (gps_change ? 1 : 0)], cpr);
+      c->last_intensity[(cpr << 1) | (gps_change ? 1 : 0)] = intensity;
+    }
+
+    I32 scan_angle = (I32)(I16)rd_u16(c->last + 18);
+    if ((changed & 8) && layers[L_ANG].present()) {
+      scan_angle = c->ic_scan_angle.decompress(
+          layers[L_ANG].dec, scan_angle, gps_change ? 1 : 0);
+    }
+
+    U8 user_data = c->last[17];
+    if (layers[L_UD].present()) {
+      if (c->m_user_data[user_data / 4].symbols == 0)
+        c->m_user_data[user_data / 4].create(256, false);
+      user_data =
+          (U8)layers[L_UD].dec.decodeSymbol(c->m_user_data[user_data / 4]);
+    }
+
+    U16 point_source = rd_u16(c->last + 20);
+    if ((changed & 32) && layers[L_SRC].present()) {
+      point_source = (U16)c->ic_point_source.decompress(
+          layers[L_SRC].dec, point_source, 0);
+    }
+
+    if (gps_change && layers[L_GPS].present()) read_gps(*c);
+
+    // assemble the item + update the context's running last point
+    wr_i32(item + 0, X);
+    wr_i32(item + 4, Y);
+    wr_i32(item + 8, Z);
+    wr_u16(item + 12, intensity);
+    item[14] = (U8)((r & 0x0F) | ((n & 0x0F) << 4));
+    item[15] = (U8)((flag_bits & 0x0F) | (cur << 4) |
+                    ((flag_bits & 0x30) << 2));
+    item[16] = classification;
+    item[17] = user_data;
+    wr_u16(item + 18, (U16)(I16)scan_angle);
+    wr_u16(item + 20, point_source);
+    wr_u64(item + 22, c->last_gpstime[c->gps_last]);
+    std::memcpy(c->last, item, 30);
+    c->last_gps_change = gps_change;
+  }
+
+  void write(const U8* item, U32& context) {
+    Point14Ctx* c = &ctx[cur];
+    const U32 r = item[14] & 0x0F;
+    const U32 n = (item[14] >> 4) & 0x0F;
+    const U32 sc = (item[15] >> 4) & 3;
+    const U64 gps = rd_u64(item + 22);
+    const I32 scan_angle = (I32)(I16)rd_u16(item + 18);
+    const U16 psid = rd_u16(item + 20);
+
+    // the changed bits describe the point RELATIVE TO the post-switch
+    // context's last point (what the reader will compare against), while
+    // the symbol itself is coded with the pre-switch context's model
+    Point14Ctx* tgt = c;
+    if (sc != cur) {
+      if (ctx[sc].unused) ctx[sc].create(c->last, true);
+      tgt = &ctx[sc];
+    }
+    const U8 lr = tgt->last[14] & 0x0F;
+    const U8 ln = (tgt->last[14] >> 4) & 0x0F;
+    const bool gps_change = gps != rd_u64(tgt->last + 22);
+    const I32 last_angle = (I32)(I16)rd_u16(tgt->last + 18);
+    const U16 last_psid = rd_u16(tgt->last + 20);
+
+    U32 changed = 0;
+    if (sc != cur) changed |= 64;
+    if (psid != last_psid) changed |= 32;
+    if (gps_change) changed |= 16;
+    if (scan_angle != last_angle) changed |= 8;
+    if (n != ln) changed |= 4;
+    if (r == lr) changed |= 0;
+    else if (r == ((lr + 1u) & 15)) changed |= 1;
+    else if (r == ((lr + 15u) & 15)) changed |= 2;
+    else changed |= 3;
+
+    {
+      const U8 plr = c->last[14] & 0x0F;
+      const U8 pln = (c->last[14] >> 4) & 0x0F;
+      U32 lpr = (plr == 1 ? 1u : 0u) + (plr >= pln ? 2u : 0u) +
+                (c->last_gps_change ? 4u : 0u);
+      layers[L_XY].enc.encodeSymbol(c->m_changed_values[lpr], changed);
+    }
+    layers[L_XY].changed = true;  // XY layer always carries data
+
+    if (changed & 64) {
+      U32 diff = (sc - cur + 3) & 3;  // encode (sc - cur - 1) mod 4 in 0..2
+      layers[L_XY].enc.encodeSymbol(c->m_scanner_channel, diff);
+      cur = sc;
+      c = tgt;
+    }
+    context = cur;
+
+    if (changed & 4) {
+      if (c->m_number_of_returns[ln].symbols == 0)
+        c->m_number_of_returns[ln].create(16, true);
+      layers[L_XY].enc.encodeSymbol(c->m_number_of_returns[ln], n);
+    }
+    if ((changed & 3) == 3) {
+      if (gps_change) {
+        if (c->m_return_number[lr].symbols == 0)
+          c->m_return_number[lr].create(16, true);
+        layers[L_XY].enc.encodeSymbol(c->m_return_number[lr], r);
+      } else {
+        layers[L_XY].enc.encodeSymbol(c->m_return_number_gps_same,
+                                      (r - lr + 16 - 2) & 15);
+      }
+    }
+
+    const U32 m = map6ctx(n, r);
+    const U32 l = level8ctx(n, r);
+    const U32 cpr = (r == 1 ? 2u : 0u) + (r >= n ? 1u : 0u);
+
+    I32 median = c->mx[(m << 1) | (gps_change ? 1 : 0)].get();
+    I32 diff = rd_i32(item + 0) - rd_i32(c->last + 0);
+    c->ic_dX.compress(layers[L_XY].enc, median, diff, n == 1);
+    c->mx[(m << 1) | (gps_change ? 1 : 0)].add(diff);
+
+    U32 kx = c->ic_dX.getK();
+    median = c->my[(m << 1) | (gps_change ? 1 : 0)].get();
+    diff = rd_i32(item + 4) - rd_i32(c->last + 4);
+    c->ic_dY.compress(layers[L_XY].enc, median, diff,
+                      (n == 1 ? 1u : 0u) + (kx < 20 ? (kx & ~1u) : 20u));
+    c->my[(m << 1) | (gps_change ? 1 : 0)].add(diff);
+
+    U32 kz = (kx + c->ic_dY.getK()) / 2;
+    I32 Z = rd_i32(item + 8);
+    c->ic_Z.compress(layers[L_Z].enc, c->last_Z[l], Z,
+                     (n == 1 ? 1u : 0u) + (kz < 18 ? (kz & ~1u) : 18u));
+    if (Z != c->last_Z[l]) layers[L_Z].changed = true;
+    c->last_Z[l] = Z;
+
+    U8 last_cls = c->last[16];
+    U32 ccc = (((U32)(last_cls & 0x1F)) << 1) | (cpr == 3 ? 1 : 0);
+    if (c->m_classification[ccc].symbols == 0)
+      c->m_classification[ccc].create(256, true);
+    layers[L_CLS].enc.encodeSymbol(c->m_classification[ccc], item[16]);
+    if (item[16] != last_cls) layers[L_CLS].changed = true;
+
+    U8 last_flags = (U8)((c->last[15] & 0x0F) | ((c->last[15] >> 2) & 0x30));
+    U8 flag_bits = (U8)((item[15] & 0x0F) | ((item[15] >> 2) & 0x30));
+    if (c->m_flags[last_flags].symbols == 0)
+      c->m_flags[last_flags].create(64, true);
+    layers[L_FLAGS].enc.encodeSymbol(c->m_flags[last_flags], flag_bits);
+    if (flag_bits != last_flags) layers[L_FLAGS].changed = true;
+
+    U16 intensity = rd_u16(item + 12);
+    c->ic_intensity.compress(
+        layers[L_INT].enc,
+        c->last_intensity[(cpr << 1) | (gps_change ? 1 : 0)], intensity, cpr);
+    if (intensity != c->last_intensity[(cpr << 1) | (gps_change ? 1 : 0)])
+      layers[L_INT].changed = true;
+    c->last_intensity[(cpr << 1) | (gps_change ? 1 : 0)] = intensity;
+
+    if (changed & 8) {
+      c->ic_scan_angle.compress(layers[L_ANG].enc, last_angle, scan_angle,
+                                gps_change ? 1 : 0);
+      layers[L_ANG].changed = true;
+    }
+
+    U8 last_ud = c->last[17];
+    if (c->m_user_data[last_ud / 4].symbols == 0)
+      c->m_user_data[last_ud / 4].create(256, true);
+    layers[L_UD].enc.encodeSymbol(c->m_user_data[last_ud / 4], item[17]);
+    if (item[17] != last_ud) layers[L_UD].changed = true;
+
+    if (changed & 32) {
+      c->ic_point_source.compress(layers[L_SRC].enc, last_psid, psid, 0);
+      layers[L_SRC].changed = true;
+    }
+
+    if (gps_change) {
+      write_gps(*c, gps);
+      layers[L_GPS].changed = true;
+    }
+
+    std::memcpy(c->last, item, 30);
+    c->last_gps_change = gps_change;
+  }
+};
+
+// ---- RGB14 / RGBNIR14 v3 (6 or 8 bytes; v2 RGB algorithm per context,
+// one RGB layer + optional NIR layer with a byte-used/diff scheme) ----
+struct RgbNir14v3 {
+  bool has_nir = false;
+  enum { L_RGB = 0, L_NIR, MAX_LAYERS };
+  Layer layers[2];
+
+  struct Ctx {
+    bool unused = true;
+    SymbolModel m_byte_used, m_rgb_diff[6];
+    SymbolModel m_nir_used, m_nir_diff[2];
+    U16 last_r, last_g, last_b, last_nir;
+    void create(const U8* first, bool nir, bool encoder) {
+      unused = false;
+      m_byte_used.create(128, encoder);
+      for (int i = 0; i < 6; ++i) m_rgb_diff[i].create(256, encoder);
+      last_r = rd_u16(first + 0);
+      last_g = rd_u16(first + 2);
+      last_b = rd_u16(first + 4);
+      if (nir) {
+        m_nir_used.create(4, encoder);
+        for (int i = 0; i < 2; ++i) m_nir_diff[i].create(256, encoder);
+        last_nir = rd_u16(first + 6);
+      }
+    }
+  };
+  Ctx ctx[4];
+  const U8* first_of_chunk[4] = {nullptr, nullptr, nullptr, nullptr};
+  U8 first_copy[8];
+
+  explicit RgbNir14v3(bool nir) : has_nir(nir) {}
+  U32 size() const { return has_nir ? 8 : 6; }
+  U32 num_layers() const { return has_nir ? 2 : 1; }
+
+  void init_chunk(const U8* first, U32 context, bool encoder) {
+    for (int i = 0; i < 4; ++i) ctx[i].unused = true;
+    std::memcpy(first_copy, first, size());
+    ctx[context].create(first_copy, has_nir, encoder);
+    if (encoder)
+      for (U32 i = 0; i < num_layers(); ++i) layers[i].start_write();
+  }
+
+  Ctx& context_for(U32 context, bool encoder) {
+    if (ctx[context].unused) ctx[context].create(first_copy, has_nir, encoder);
+    return ctx[context];
+  }
+
+  void read(U8* item, U32 context) {
+    Ctx& c = context_for(context, false);
+    U16 r = c.last_r, g = c.last_g, b = c.last_b;
+    if (layers[L_RGB].present()) {
+      Decoder& dec = layers[L_RGB].dec;
+      U32 sym = dec.decodeSymbol(c.m_byte_used);
+      I32 diff = 0;
+      U8 corr;
+      if (sym & 1) {
+        corr = (U8)dec.decodeSymbol(c.m_rgb_diff[0]);
+        r = (U16)u8_fold((I32)corr + (c.last_r & 0xFF));
+      } else r = c.last_r & 0xFF;
+      if (sym & 2) {
+        corr = (U8)dec.decodeSymbol(c.m_rgb_diff[1]);
+        r |= ((U16)u8_fold((I32)corr + (c.last_r >> 8))) << 8;
+      } else r |= c.last_r & 0xFF00;
+      if (sym & 64) {
+        diff = (I32)(r & 0xFF) - (I32)(c.last_r & 0xFF);
+        if (sym & 4) {
+          corr = (U8)dec.decodeSymbol(c.m_rgb_diff[2]);
+          g = (U16)u8_fold((I32)corr + u8_clamp(diff + (c.last_g & 0xFF)));
+        } else g = c.last_g & 0xFF;
+        if (sym & 16) {
+          corr = (U8)dec.decodeSymbol(c.m_rgb_diff[4]);
+          diff = (diff + (I32)(g & 0xFF) - (I32)(c.last_g & 0xFF)) / 2;
+          b = (U16)u8_fold((I32)corr + u8_clamp(diff + (c.last_b & 0xFF)));
+        } else b = c.last_b & 0xFF;
+        diff = (I32)(r >> 8) - (I32)(c.last_r >> 8);
+        if (sym & 8) {
+          corr = (U8)dec.decodeSymbol(c.m_rgb_diff[3]);
+          g |= ((U16)u8_fold((I32)corr + u8_clamp(diff + (c.last_g >> 8)))) << 8;
+        } else g |= c.last_g & 0xFF00;
+        if (sym & 32) {
+          corr = (U8)dec.decodeSymbol(c.m_rgb_diff[5]);
+          diff = (diff + (I32)(g >> 8) - (I32)(c.last_g >> 8)) / 2;
+          b |= ((U16)u8_fold((I32)corr + u8_clamp(diff + (c.last_b >> 8)))) << 8;
+        } else b |= c.last_b & 0xFF00;
+      } else { g = r; b = r; }
+    }
+    wr_u16(item + 0, r); wr_u16(item + 2, g); wr_u16(item + 4, b);
+    c.last_r = r; c.last_g = g; c.last_b = b;
+    if (has_nir) {
+      U16 nir = c.last_nir;
+      if (layers[L_NIR].present()) {
+        Decoder& dec = layers[L_NIR].dec;
+        U32 sym = dec.decodeSymbol(c.m_nir_used);
+        if (sym & 1)
+          nir = (U16)u8_fold((I32)dec.decodeSymbol(c.m_nir_diff[0]) +
+                             (c.last_nir & 0xFF));
+        else nir = c.last_nir & 0xFF;
+        if (sym & 2)
+          nir |= ((U16)u8_fold((I32)dec.decodeSymbol(c.m_nir_diff[1]) +
+                               (c.last_nir >> 8))) << 8;
+        else nir |= c.last_nir & 0xFF00;
+      }
+      wr_u16(item + 6, nir);
+      c.last_nir = nir;
+    }
+  }
+
+  void write(const U8* item, U32 context) {
+    Ctx& c = context_for(context, true);
+    U16 r = rd_u16(item + 0), g = rd_u16(item + 2), b = rd_u16(item + 4);
+    {
+      Encoder& enc = layers[L_RGB].enc;
+      U32 sym = 0;
+      if ((r & 0xFF) != (c.last_r & 0xFF)) sym |= 1;
+      if ((r & 0xFF00) != (c.last_r & 0xFF00)) sym |= 2;
+      bool gb = ((g & 0xFF) != (r & 0xFF)) || ((b & 0xFF) != (r & 0xFF)) ||
+                ((g & 0xFF00) != (r & 0xFF00)) || ((b & 0xFF00) != (r & 0xFF00));
+      if (gb) {
+        sym |= 64;
+        if ((g & 0xFF) != (c.last_g & 0xFF)) sym |= 4;
+        if ((g & 0xFF00) != (c.last_g & 0xFF00)) sym |= 8;
+        if ((b & 0xFF) != (c.last_b & 0xFF)) sym |= 16;
+        if ((b & 0xFF00) != (c.last_b & 0xFF00)) sym |= 32;
+      }
+      enc.encodeSymbol(c.m_byte_used, sym);
+      I32 diff = 0;
+      if (sym & 1)
+        enc.encodeSymbol(c.m_rgb_diff[0],
+                         u8_fold((I32)(r & 0xFF) - (I32)(c.last_r & 0xFF)));
+      if (sym & 2)
+        enc.encodeSymbol(c.m_rgb_diff[1],
+                         u8_fold((I32)(r >> 8) - (I32)(c.last_r >> 8)));
+      if (sym & 64) {
+        diff = (I32)(r & 0xFF) - (I32)(c.last_r & 0xFF);
+        if (sym & 4)
+          enc.encodeSymbol(
+              c.m_rgb_diff[2],
+              u8_fold((I32)(g & 0xFF) - u8_clamp(diff + (c.last_g & 0xFF))));
+        if (sym & 16) {
+          diff = (diff + (I32)(g & 0xFF) - (I32)(c.last_g & 0xFF)) / 2;
+          enc.encodeSymbol(
+              c.m_rgb_diff[4],
+              u8_fold((I32)(b & 0xFF) - u8_clamp(diff + (c.last_b & 0xFF))));
+        }
+        diff = (I32)(r >> 8) - (I32)(c.last_r >> 8);
+        if (sym & 8)
+          enc.encodeSymbol(
+              c.m_rgb_diff[3],
+              u8_fold((I32)(g >> 8) - u8_clamp(diff + (c.last_g >> 8))));
+        if (sym & 32) {
+          diff = (diff + (I32)(g >> 8) - (I32)(c.last_g >> 8)) / 2;
+          enc.encodeSymbol(
+              c.m_rgb_diff[5],
+              u8_fold((I32)(b >> 8) - u8_clamp(diff + (c.last_b >> 8))));
+        }
+      }
+      if (r != c.last_r || g != c.last_g || b != c.last_b)
+        layers[L_RGB].changed = true;
+      c.last_r = r; c.last_g = g; c.last_b = b;
+    }
+    if (has_nir) {
+      U16 nir = rd_u16(item + 6);
+      Encoder& enc = layers[L_NIR].enc;
+      U32 sym = 0;
+      if ((nir & 0xFF) != (c.last_nir & 0xFF)) sym |= 1;
+      if ((nir & 0xFF00) != (c.last_nir & 0xFF00)) sym |= 2;
+      enc.encodeSymbol(c.m_nir_used, sym);
+      if (sym & 1)
+        enc.encodeSymbol(c.m_nir_diff[0],
+                         u8_fold((I32)(nir & 0xFF) - (I32)(c.last_nir & 0xFF)));
+      if (sym & 2)
+        enc.encodeSymbol(c.m_nir_diff[1],
+                         u8_fold((I32)(nir >> 8) - (I32)(c.last_nir >> 8)));
+      if (nir != c.last_nir) layers[L_NIR].changed = true;
+      c.last_nir = nir;
+    }
+  }
+};
+
+// ---- BYTE14 v3 (n extra bytes; one layer + models per byte, 4 contexts) ----
+struct Byte14v3 {
+  U32 n;
+  std::vector<Layer> layers;
+  struct Ctx {
+    bool unused = true;
+    std::vector<SymbolModel> m_byte;
+    std::vector<U8> last;
+    void create(const U8* first, U32 n, bool encoder) {
+      unused = false;
+      m_byte.resize(n);
+      for (U32 i = 0; i < n; ++i) m_byte[i].create(256, encoder);
+      last.assign(first, first + n);
+    }
+  };
+  Ctx ctx[4];
+  std::vector<U8> first_copy;
+
+  explicit Byte14v3(U32 n_) : n(n_) { layers.resize(n); }
+  U32 size() const { return n; }
+  U32 num_layers() const { return n; }
+
+  void init_chunk(const U8* first, U32 context, bool encoder) {
+    for (int i = 0; i < 4; ++i) ctx[i].unused = true;
+    first_copy.assign(first, first + n);
+    ctx[context].create(first, n, encoder);
+    if (encoder)
+      for (auto& l : layers) l.start_write();
+  }
+  Ctx& context_for(U32 context, bool encoder) {
+    if (ctx[context].unused) ctx[context].create(first_copy.data(), n, encoder);
+    return ctx[context];
+  }
+  void read(U8* item, U32 context) {
+    Ctx& c = context_for(context, false);
+    for (U32 i = 0; i < n; ++i) {
+      if (layers[i].present()) {
+        item[i] = u8_fold((I32)layers[i].dec.decodeSymbol(c.m_byte[i]) +
+                          (I32)c.last[i]);
+      } else {
+        item[i] = c.last[i];
+      }
+      c.last[i] = item[i];
+    }
+  }
+  void write(const U8* item, U32 context) {
+    Ctx& c = context_for(context, true);
+    for (U32 i = 0; i < n; ++i) {
+      layers[i].enc.encodeSymbol(c.m_byte[i],
+                                 u8_fold((I32)item[i] - (I32)c.last[i]));
+      if (item[i] != c.last[i]) layers[i].changed = true;
+      c.last[i] = item[i];
+    }
+  }
+};
+
+// ---------------------------------------------------------------------------
 // Container: chunked pointwise streams + compressed chunk table
 // ---------------------------------------------------------------------------
 
@@ -1095,6 +1948,100 @@ static const I32 ITEM_BYTE = 0;
 static const I32 ITEM_POINT10 = 6;
 static const I32 ITEM_GPSTIME11 = 7;
 static const I32 ITEM_RGB12 = 8;
+static const I32 ITEM_POINT14 = 10;
+static const I32 ITEM_RGB14 = 11;
+static const I32 ITEM_RGBNIR14 = 12;
+static const I32 ITEM_BYTE14 = 14;
+
+// Layered (compressor 3) codec set: POINT14 [+ RGB14|RGBNIR14] [+ BYTE14].
+struct LayeredCodecs {
+  Point14v3 point;
+  RgbNir14v3* rgb = nullptr;
+  Byte14v3* extra = nullptr;
+  ~LayeredCodecs() {
+    delete rgb;
+    delete extra;
+  }
+  bool setup(const I32* types, const I32* sizes, I32 n_items) {
+    if (n_items < 1 || types[0] != ITEM_POINT14 || sizes[0] != 30)
+      return false;
+    for (I32 i = 1; i < n_items; ++i) {
+      if (types[i] == ITEM_RGB14 && sizes[i] == 6 && !rgb && !extra)
+        rgb = new RgbNir14v3(false);
+      else if (types[i] == ITEM_RGBNIR14 && sizes[i] == 8 && !rgb && !extra)
+        rgb = new RgbNir14v3(true);
+      else if (types[i] == ITEM_BYTE14 && sizes[i] >= 1 && !extra)
+        extra = new Byte14v3((U32)sizes[i]);
+      else
+        return false;
+    }
+    return true;
+  }
+  U32 point_size() const {
+    return point.size() + (rgb ? rgb->size() : 0) +
+           (extra ? extra->size() : 0);
+  }
+  U32 total_layers() const {
+    return point.num_layers() + (rgb ? rgb->num_layers() : 0) +
+           (extra ? extra->num_layers() : 0);
+  }
+  void for_each_layer(const std::function<void(Layer&)>& f) {
+    for (U32 i = 0; i < point.num_layers(); ++i) f(point.layers[i]);
+    if (rgb)
+      for (U32 i = 0; i < rgb->num_layers(); ++i) f(rgb->layers[i]);
+    if (extra)
+      for (U32 i = 0; i < extra->num_layers(); ++i) f(extra->layers[i]);
+  }
+};
+
+// Decode the chunk table shared by compressors 2 and 3. Returns false on a
+// malformed table.
+static bool read_chunk_table(const U8* file, I64 file_len, I64 point_offset,
+                             I64 n_chunks, std::vector<I64>& chunk_starts) {
+  if (point_offset + 8 > file_len) return false;
+  I64 table_off = (I64)rd_u64(file + point_offset);
+  if (table_off <= 0 || table_off + 8 > file_len) return false;
+  U32 version, number_chunks;
+  std::memcpy(&version, file + table_off, 4);
+  std::memcpy(&number_chunks, file + table_off + 4, 4);
+  if (version != 0 || (I64)number_chunks < n_chunks) return false;
+  Decoder tdec;
+  tdec.init(file + table_off + 8, file + file_len);
+  IntegerCompressor tic;
+  tic.setup(32, 2);
+  tic.init(false);
+  I64 pos = point_offset + 8;
+  I32 prev = 0;
+  for (I64 i = 0; i < n_chunks; ++i) {
+    chunk_starts.push_back(pos);
+    I32 sz = tic.decompress(tdec, prev, 1);
+    prev = sz;
+    pos += sz;
+  }
+  return true;
+}
+
+static void write_chunk_table(std::vector<U8>& buf, I64 point_offset,
+                              const std::vector<U32>& chunk_bytes) {
+  U64 table_abs = (U64)(point_offset + (I64)buf.size());
+  wr_u64(buf.data(), table_abs);
+  U32 version = 0, number_chunks = (U32)chunk_bytes.size();
+  size_t t = buf.size();
+  buf.resize(t + 8);
+  std::memcpy(buf.data() + t, &version, 4);
+  std::memcpy(buf.data() + t + 4, &number_chunks, 4);
+  Encoder enc;
+  enc.init(&buf);
+  IntegerCompressor tic;
+  tic.setup(32, 2);
+  tic.init(true);
+  I32 prev = 0;
+  for (U32 sz : chunk_bytes) {
+    tic.compress(enc, prev, (I32)sz, 1);
+    prev = (I32)sz;
+  }
+  enc.done();
+}
 
 static bool make_codecs(const I32* item_types, const I32* item_sizes,
                         I32 n_items, std::vector<ItemCodec*>& codecs) {
@@ -1304,6 +2251,150 @@ int64_t laz_compress(const uint8_t* raw, int64_t num_points,
     enc.done();
   }
 
+  if ((I64)buf.size() > out_cap) return -6;
+  std::memcpy(out, buf.data(), buf.size());
+  return (I64)buf.size();
+}
+
+// Decompress a LAYERED chunked LAZ point block (compressor 3, item
+// version 3 — LAS 1.4 point formats 6-10). Same calling convention as
+// laz_decompress. Error codes: -1 unsupported items, -2/-3/-4 table
+// problems, -5 truncated chunk, -8 layer-stream desync (the strongest
+// signal a foreign file uses models this reconstruction does not match).
+int64_t laz_decompress_layered(const uint8_t* file, int64_t file_len,
+                               int64_t point_offset, int64_t num_points,
+                               int32_t chunk_size, const int32_t* item_types,
+                               const int32_t* item_sizes, int32_t n_items,
+                               uint8_t* out) {
+  if (num_points <= 0) return 0;
+  LayeredCodecs cs;
+  if (!cs.setup(item_types, item_sizes, n_items)) return -1;
+  const I64 point_size = cs.point_size();
+  if (chunk_size <= 0) return -7;  // variable-size layered chunks: unsupported
+
+  I64 n_chunks = (num_points + chunk_size - 1) / chunk_size;
+  std::vector<I64> chunk_starts;
+  if (!read_chunk_table(file, file_len, point_offset, n_chunks, chunk_starts))
+    return -3;
+
+  I64 done_points = 0;
+  for (I64 ci = 0; ci < (I64)chunk_starts.size() && done_points < num_points;
+       ++ci) {
+    const U8* p = file + chunk_starts[ci];
+    const U8* fend = file + file_len;
+    if (p + point_size + 4 > fend) return -5;
+    // raw first point
+    U8* dst = out + done_points * point_size;
+    std::memcpy(dst, p, (size_t)point_size);
+    p += point_size;
+    const U8 first_context = (dst[15] >> 4) & 3;
+    cs.point.init_chunk(dst, false);
+    if (cs.rgb) cs.rgb->init_chunk(dst + 30, first_context, false);
+    if (cs.extra)
+      cs.extra->init_chunk(dst + 30 + (cs.rgb ? cs.rgb->size() : 0),
+                           first_context, false);
+    // point count, then all layer sizes, then all layer byte streams
+    U32 count;
+    std::memcpy(&count, p, 4);
+    p += 4;
+    I64 remaining = num_points - done_points;
+    if ((I64)count > remaining || count == 0) return -5;
+    bool bad = false;
+    cs.for_each_layer([&](Layer& l) {
+      if (p + 4 > fend) { bad = true; return; }
+      std::memcpy(&l.num_bytes, p, 4);
+      p += 4;
+    });
+    if (bad) return -5;
+    cs.for_each_layer([&](Layer& l) {
+      if (p + l.num_bytes > fend) { bad = true; return; }
+      if (l.num_bytes > 0) l.dec.init(p, p + l.num_bytes);
+      p += l.num_bytes;
+    });
+    if (bad) return -5;
+
+    for (U32 i = 1; i < count; ++i) {
+      U8* item = out + (done_points + i) * point_size;
+      U32 ctxv = 0;
+      cs.point.read(item, ctxv);
+      if (cs.rgb) cs.rgb->read(item + 30, ctxv);
+      if (cs.extra)
+        cs.extra->read(item + 30 + (cs.rgb ? cs.rgb->size() : 0), ctxv);
+    }
+    // desync guard: every non-empty layer must be (nearly) fully consumed;
+    // the encoder's flush leaves at most ~8 unread bytes
+    cs.for_each_layer([&](Layer& l) {
+      if (l.num_bytes > 8 && l.dec.p + 8 < l.dec.end) bad = true;
+    });
+    if (bad && count > 1) return -8;
+    done_points += count;
+  }
+  return done_points;
+}
+
+// Compress raw LAS 1.4 point records into a layered chunked LAZ block
+// (compressor 3). Mirrors laz_compress's convention.
+int64_t laz_compress_layered(const uint8_t* raw, int64_t num_points,
+                             int64_t point_offset, int32_t chunk_size,
+                             const int32_t* item_types,
+                             const int32_t* item_sizes, int32_t n_items,
+                             uint8_t* out, int64_t out_cap) {
+  LayeredCodecs cs;
+  if (!cs.setup(item_types, item_sizes, n_items)) return -1;
+  const I64 point_size = cs.point_size();
+  if (chunk_size <= 0) chunk_size = 50000;
+
+  std::vector<U8> buf;
+  buf.reserve((size_t)(num_points * point_size / 2 + 4096));
+  buf.resize(8);  // chunk table pointer placeholder
+
+  std::vector<U32> chunk_bytes;
+  I64 done_points = 0;
+  while (done_points < num_points) {
+    I64 pts_in_chunk = num_points - done_points;
+    if (pts_in_chunk > chunk_size) pts_in_chunk = chunk_size;
+    size_t chunk_start = buf.size();
+    const U8* first = raw + done_points * point_size;
+    buf.insert(buf.end(), first, first + point_size);
+    const U8 first_context = (first[15] >> 4) & 3;
+    cs.point.init_chunk(first, true);
+    if (cs.rgb) cs.rgb->init_chunk(first + 30, first_context, true);
+    if (cs.extra)
+      cs.extra->init_chunk(first + 30 + (cs.rgb ? cs.rgb->size() : 0),
+                           first_context, true);
+
+    for (I64 i = 1; i < pts_in_chunk; ++i) {
+      const U8* item = raw + (done_points + i) * point_size;
+      U32 ctxv = 0;
+      cs.point.write(item, ctxv);
+      if (cs.rgb) cs.rgb->write(item + 30, ctxv);
+      if (cs.extra)
+        cs.extra->write(item + 30 + (cs.rgb ? cs.rgb->size() : 0), ctxv);
+    }
+    cs.for_each_layer([&](Layer& l) { l.finish_write(); });
+    // always-present layers (XY, Z) even when nothing changed
+    cs.point.layers[Point14v3::L_XY].changed = true;
+    cs.point.layers[Point14v3::L_Z].changed = true;
+
+    U32 count = (U32)pts_in_chunk;
+    size_t t = buf.size();
+    buf.resize(t + 4);
+    std::memcpy(buf.data() + t, &count, 4);
+    cs.for_each_layer([&](Layer& l) {
+      U32 nb = l.changed ? (U32)l.bytes.size() : 0;
+      size_t o = buf.size();
+      buf.resize(o + 4);
+      std::memcpy(buf.data() + o, &nb, 4);
+    });
+    cs.for_each_layer([&](Layer& l) {
+      if (l.changed)
+        buf.insert(buf.end(), l.bytes.begin(), l.bytes.end());
+    });
+    chunk_bytes.push_back((U32)(buf.size() - chunk_start));
+    done_points += pts_in_chunk;
+  }
+
+  write_chunk_table(buf, point_offset, chunk_bytes);
   if ((I64)buf.size() > out_cap) return -6;
   std::memcpy(out, buf.data(), buf.size());
   return (I64)buf.size();

@@ -113,11 +113,16 @@ def test_header_only_read_counts(tmp_path):
     assert h.point_count == 321
 
 
-def test_layered_laz_rejected_with_clear_error():
-    """LAS 1.4 layered LAZ (compressor 3, point formats 6+) is out of scope
-    for the pointwise codec — must fail loudly, naming the limitation."""
-    with pytest.raises(NotImplementedError, match="layered"):
-        read_las("/root/reference/tests/data/single-point-cloud.laz")
+def test_layered_laz_foreign_file_reads():
+    """A laszip-produced LAS 1.4 layered LAZ (compressor 3, point format 8)
+    decodes through the native layered codec — container + raw-point parity
+    with a foreign producer."""
+    data = read_las("/root/reference/tests/data/single-point-cloud.laz")
+    assert len(data.points) == 1
+    assert abs(float(data.points["X"][0]) - 436049.98) < 0.01
+    assert abs(float(data.points["Y"][0]) - 6383048.82) < 0.01
+    assert data.points["Classification"][0] == 3
+    assert data.header.point_format == 8
 
 
 # ---------------------------------------------------------------------------
@@ -225,10 +230,21 @@ def test_laz_with_extra_bytes_roundtrip(tmp_path):
                                    err_msg=f)
 
 
-def test_laz_write_format8_rejected(tmp_path):
-    pts = _synthetic_points(10)
-    with pytest.raises(NotImplementedError, match="0-3"):
-        write_las(str(tmp_path / "x.laz"), pts, LasHeader(point_format=8))
+def test_layered_laz_vlr_spec_layout(tmp_path):
+    """The laszip VLR of a layered write carries compressor 3 / item
+    version 3 at the spec offsets (chunk_size @12 etc. — a foreign reader
+    must be able to parse it)."""
+    from myria3d_tpu.pctl.io.las import _parse_laszip_vlr
+
+    pts = _synthetic_points(10, with_colors=True)
+    laz_path = str(tmp_path / "x.laz")
+    write_las(laz_path, pts, LasHeader(version=(1, 4), point_format=8))
+    h = read_las_header(laz_path)
+    vlr = _parse_laszip_vlr(h.vlrs)
+    assert vlr["compressor"] == 3
+    assert vlr["chunk_size"] == 50000
+    assert all(ver == 3 for _t, _s, ver in vlr["items"])
+    assert [t for t, _s, _v in vlr["items"]] == [10, 12]
 
 
 def test_las_written_from_laz_source_has_no_laszip_vlr(tmp_path):
@@ -257,3 +273,47 @@ def test_bad_magic(tmp_path):
     p.write_bytes(b"NOPE" + b"\0" * 400)
     with pytest.raises(ValueError):
         read_las_header(str(p))
+
+
+# ---------------------------------------------------------------------------
+# Layered LAZ (compressor 3, item version 3 — LAS 1.4 point formats 6-8)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("fmt", [6, 7, 8])
+def test_layered_laz_roundtrip_bit_identical(tmp_path, fmt):
+    """LAS 1.4 -> layered LAZ -> read is bit-identical on every dimension."""
+    pts = _synthetic_points(5000, with_colors=fmt in (7, 8))
+    header = LasHeader(version=(1, 4), point_format=fmt,
+                       offsets=(862000.0, 6652000.0, 0.0))
+    las_path = str(tmp_path / "t.las")
+    laz_path = str(tmp_path / "t.laz")
+    write_las(las_path, pts, header)
+    write_las(laz_path, pts, header)
+    a = read_las(las_path)
+    b = read_las(laz_path)
+    assert a.points.dtype == b.points.dtype
+    for name in a.points.dtype.names:
+        np.testing.assert_array_equal(a.points[name], b.points[name],
+                                      err_msg=name)
+    assert b.header.point_format == fmt
+
+
+def test_layered_laz_roundtrip_multichunk_with_extra_bytes(tmp_path):
+    """>50k points (several layered chunks) + extra dims through BYTE14."""
+    pts_base = _synthetic_points(120_000, with_colors=True)
+    dt = np.dtype(pts_base.dtype.descr + [("entropy", "<f4")])
+    pts = np.zeros(len(pts_base), dtype=dt)
+    for nm in pts_base.dtype.names:
+        pts[nm] = pts_base[nm]
+    pts["entropy"] = np.random.default_rng(1).random(len(pts)).astype("<f4")
+    header = LasHeader(version=(1, 4), point_format=8,
+                       offsets=(862000.0, 6652000.0, 0.0))
+    laz_path = str(tmp_path / "m.laz")
+    write_las(laz_path, pts, header, extra_dims="all")
+    back = read_las(laz_path)
+    assert len(back.points) == len(pts)
+    np.testing.assert_allclose(back.points["X"], pts["X"], atol=0.005)
+    np.testing.assert_array_equal(back.points["Classification"],
+                                  pts["Classification"])
+    np.testing.assert_array_equal(back.points["entropy"], pts["entropy"])
