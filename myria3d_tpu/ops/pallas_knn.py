@@ -123,7 +123,38 @@ def knn_topk_pallas(
     Returns (idx (B, Nq, k) int32, d2 (B, Nq, k) f32, ascending). Pad keys
     (w = 1e4) surface with d2 >= 1e8 exactly like the dense path, so the
     caller's validity thresholding is unchanged.
+
+    Non-differentiable by declaration (zero-tangent custom_jvp): neighbor
+    indices are discrete and the forward recomputes any distance it needs
+    gradients for, while pallas_call itself has no AD rule — without the
+    wrapper, jit(grad(train_step)) fails to linearize.
     """
+    return _topk_nodiff(q4, k4, k, tile_q, bins, interpret)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(2, 3, 4, 5))
+def _topk_nodiff(q4, k4, k, tile_q, bins, interpret):
+    return _topk_impl(q4, k4, k, tile_q, bins, interpret)
+
+
+@_topk_nodiff.defjvp
+def _topk_nodiff_jvp(k, tile_q, bins, interpret, primals, tangents):
+    import numpy as np
+
+    out = _topk_nodiff(*primals, k, tile_q, bins, interpret)
+    idx, d2 = out
+    idx_tan = np.zeros(idx.shape, jax.dtypes.float0)  # int output: float0
+    return out, (idx_tan, jnp.zeros_like(d2))
+
+
+def _topk_impl(
+    q4: jnp.ndarray,
+    k4: jnp.ndarray,
+    k: int,
+    tile_q: int = TILE_Q,
+    bins: int = BINS,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     b, nq, _ = q4.shape
     nk = k4.shape[1]
     q4p = _pad_axis(q4, 1, tile_q)

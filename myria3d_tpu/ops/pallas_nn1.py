@@ -84,7 +84,35 @@ def nearest_neighbor_pallas(
 
     Returns (idx (B, Nq) int32, d2 (B, Nq) f32); queries in clouds with no
     valid key get d2 >= the pad threshold (caller masks them).
+
+    Non-differentiable by declaration (zero-tangent custom_jvp) — same
+    rationale as ``pallas_knn.knn_topk_pallas``: pallas_call has no AD
+    rule and the decoder only needs gradients through the gathered
+    features, never through the index search.
     """
+    return _nn1_nodiff(query_pos, key_pos, key_mask)
+
+
+@jax.custom_jvp
+def _nn1_nodiff(query_pos, key_pos, key_mask):
+    return _nn1_impl(query_pos, key_pos, key_mask)
+
+
+@_nn1_nodiff.defjvp
+def _nn1_nodiff_jvp(primals, tangents):
+    import numpy as np
+
+    out = _nn1_nodiff(*primals)
+    idx, d2 = out
+    idx_tan = np.zeros(idx.shape, jax.dtypes.float0)
+    return out, (idx_tan, jnp.zeros_like(d2))
+
+
+def _nn1_impl(
+    query_pos: jnp.ndarray,
+    key_pos: jnp.ndarray,
+    key_mask: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     b, nq, _ = query_pos.shape
     # Same per-cloud centering as ops.knn: georeferenced magnitudes would
     # otherwise cancel catastrophically in the f32 norm expansion.

@@ -82,3 +82,31 @@ def test_query_padding_sliced_off():
     assert idx.shape == (B, Nq, K) and d2.shape == (B, Nq, K)
     ref_idx, ref_d2 = _np_knn(q[0], kp[0], valid[0], K)
     np.testing.assert_allclose(d2[0], ref_d2, atol=1e-5)
+
+
+def test_grad_flows_past_kernel():
+    """The kernel is declared non-differentiable (zero-tangent custom_jvp):
+    jax.grad of a loss that consumes its outputs must work — regression for
+    the TPU train step, where pallas_call has no AD rule and linearization
+    failed without the wrapper."""
+    import jax
+
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.uniform(-1, 1, (1, 8, 3)).astype(np.float32))
+    kp = jnp.asarray(rng.uniform(-1, 1, (1, 128, 3)).astype(np.float32))
+    w = jnp.ones((3,), jnp.float32)
+
+    def loss(w):
+        q4 = _augment_queries(q * w)          # params touch the query path
+        k4 = _augment_keys(kp, jnp.ones((1, 128), bool))
+        idx, d2 = knn_topk_pallas(q4, k4, 4, tile_q=8, bins=128,
+                                  interpret=True)
+        # downstream gather carries the gradient; indices must not
+        feats = jnp.take_along_axis(
+            (kp * w).sum(-1, keepdims=True), idx[..., 0:1], axis=1
+        )
+        return jnp.sum(feats)
+
+    g = jax.grad(loss)(w)
+    assert g.shape == (3,)
+    assert np.isfinite(np.asarray(g)).all()
