@@ -179,7 +179,7 @@ def get_laz_lib() -> Optional[ctypes.CDLL]:
             and os.path.getmtime(_LAZ_SO) >= os.path.getmtime(_LAZ_SRC)):
         try:
             subprocess.run(
-                ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+                ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-pthread",
                  _LAZ_SRC, "-o", _LAZ_SO],
                 check=True, capture_output=True, timeout=180,
             )

@@ -11,9 +11,11 @@
 //
 // Exposed as a small C ABI driven from Python ctypes (pctl/io/las.py).
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <functional>
+#include <thread>
 #include <vector>
 
 typedef uint8_t U8;
@@ -2021,6 +2023,41 @@ static bool read_chunk_table(const U8* file, I64 file_len, I64 point_offset,
   return true;
 }
 
+// Run fn(ci) for every chunk, fanning out across hardware threads when
+// there is more than one chunk (chunks decode independently — each worker
+// builds its own codec state). fn returns 0 on success or a negative
+// error code; the first error wins.
+static int64_t parallel_chunks(I64 n_chunks,
+                               const std::function<int64_t(I64)>& fn) {
+  unsigned nt = std::thread::hardware_concurrency();
+  if (nt > 8) nt = 8;
+  if (n_chunks <= 1 || nt <= 1) {
+    for (I64 ci = 0; ci < n_chunks; ++ci) {
+      int64_t r = fn(ci);
+      if (r != 0) return r;
+    }
+    return 0;
+  }
+  std::atomic<I64> next{0};
+  std::atomic<int64_t> err{0};
+  auto worker = [&]() {
+    for (;;) {
+      I64 ci = next.fetch_add(1);
+      if (ci >= n_chunks || err.load() != 0) return;
+      int64_t r = fn(ci);
+      if (r != 0) {
+        int64_t expected = 0;
+        err.compare_exchange_strong(expected, r);
+        return;
+      }
+    }
+  };
+  std::vector<std::thread> pool;
+  for (unsigned t = 0; t < nt; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return err.load();
+}
+
 static void write_chunk_table(std::vector<U8>& buf, I64 point_offset,
                               const std::vector<U32>& chunk_bytes) {
   U64 table_abs = (U64)(point_offset + (I64)buf.size());
@@ -2141,21 +2178,25 @@ int64_t laz_decompress(const uint8_t* file, int64_t file_len,
     }
   }
 
-  I64 done_points = 0;
-  for (I64 ci = 0; ci < (I64)chunk_starts.size() && done_points < num_points;
-       ++ci) {
-    I64 pts_in_chunk = num_points - done_points;
+  free_codecs(codecs);  // probe instance only validated the item list
+
+  // chunks are independent streams — decode them across threads, each
+  // worker with its own codec state
+  I64 n_total_chunks = (I64)chunk_starts.size();
+  int64_t err = parallel_chunks(n_total_chunks, [&](I64 ci) -> int64_t {
+    I64 chunk_first = ci * (I64)chunk_size;
+    if (chunk_first >= num_points) return 0;
+    I64 pts_in_chunk = num_points - chunk_first;
     if (pts_in_chunk > chunk_size) pts_in_chunk = chunk_size;
     const U8* p = file + chunk_starts[ci];
-    if (chunk_starts[ci] + point_size > file_len) {
-      free_codecs(codecs);
-      return -5;
-    }
+    if (chunk_starts[ci] + point_size > file_len) return -5;
+    std::vector<ItemCodec*> cc;
+    make_codecs(item_types, item_sizes, n_items, cc);
     // first point raw
-    U8* dst = out + done_points * point_size;
+    U8* dst = out + chunk_first * point_size;
     std::memcpy(dst, p, (size_t)point_size);
     U8* q = dst;
-    for (auto* c : codecs) {
+    for (auto* c : cc) {
       c->init_item(q, false);
       q += c->size();
     }
@@ -2164,17 +2205,18 @@ int64_t laz_decompress(const uint8_t* file, int64_t file_len,
       Decoder dec;
       dec.init(p, file + file_len);
       for (I64 i = 1; i < pts_in_chunk; ++i) {
-        U8* item = out + (done_points + i) * point_size;
-        for (auto* c : codecs) {
+        U8* item = out + (chunk_first + i) * point_size;
+        for (auto* c : cc) {
           c->read(dec, item);
           item += c->size();
         }
       }
     }
-    done_points += pts_in_chunk;
-  }
-  free_codecs(codecs);
-  return done_points;
+    free_codecs(cc);
+    return 0;
+  });
+  if (err != 0) return err;
+  return num_points;
 }
 
 // Compress raw point records into a pointwise-chunked LAZ point block
@@ -2277,36 +2319,42 @@ int64_t laz_decompress_layered(const uint8_t* file, int64_t file_len,
   if (!read_chunk_table(file, file_len, point_offset, n_chunks, chunk_starts))
     return -3;
 
-  I64 done_points = 0;
-  for (I64 ci = 0; ci < (I64)chunk_starts.size() && done_points < num_points;
-       ++ci) {
+  // chunks are independent (each carries its raw seed point, count, and
+  // layer streams) — decode across threads, one LayeredCodecs per worker
+  I64 n_total_chunks = (I64)chunk_starts.size();
+  int64_t err = parallel_chunks(n_total_chunks, [&](I64 ci) -> int64_t {
+    I64 chunk_first = ci * (I64)chunk_size;
+    if (chunk_first >= num_points) return 0;
+    I64 expected = num_points - chunk_first;
+    if (expected > chunk_size) expected = chunk_size;
+    LayeredCodecs lc;
+    lc.setup(item_types, item_sizes, n_items);
     const U8* p = file + chunk_starts[ci];
     const U8* fend = file + file_len;
     if (p + point_size + 4 > fend) return -5;
     // raw first point
-    U8* dst = out + done_points * point_size;
+    U8* dst = out + chunk_first * point_size;
     std::memcpy(dst, p, (size_t)point_size);
     p += point_size;
     const U8 first_context = (dst[15] >> 4) & 3;
-    cs.point.init_chunk(dst, false);
-    if (cs.rgb) cs.rgb->init_chunk(dst + 30, first_context, false);
-    if (cs.extra)
-      cs.extra->init_chunk(dst + 30 + (cs.rgb ? cs.rgb->size() : 0),
+    lc.point.init_chunk(dst, false);
+    if (lc.rgb) lc.rgb->init_chunk(dst + 30, first_context, false);
+    if (lc.extra)
+      lc.extra->init_chunk(dst + 30 + (lc.rgb ? lc.rgb->size() : 0),
                            first_context, false);
     // point count, then all layer sizes, then all layer byte streams
     U32 count;
     std::memcpy(&count, p, 4);
     p += 4;
-    I64 remaining = num_points - done_points;
-    if ((I64)count > remaining || count == 0) return -5;
+    if ((I64)count != expected) return -5;
     bool bad = false;
-    cs.for_each_layer([&](Layer& l) {
+    lc.for_each_layer([&](Layer& l) {
       if (p + 4 > fend) { bad = true; return; }
       std::memcpy(&l.num_bytes, p, 4);
       p += 4;
     });
     if (bad) return -5;
-    cs.for_each_layer([&](Layer& l) {
+    lc.for_each_layer([&](Layer& l) {
       if (p + l.num_bytes > fend) { bad = true; return; }
       if (l.num_bytes > 0) l.dec.init(p, p + l.num_bytes);
       p += l.num_bytes;
@@ -2314,22 +2362,23 @@ int64_t laz_decompress_layered(const uint8_t* file, int64_t file_len,
     if (bad) return -5;
 
     for (U32 i = 1; i < count; ++i) {
-      U8* item = out + (done_points + i) * point_size;
+      U8* item = out + (chunk_first + i) * point_size;
       U32 ctxv = 0;
-      cs.point.read(item, ctxv);
-      if (cs.rgb) cs.rgb->read(item + 30, ctxv);
-      if (cs.extra)
-        cs.extra->read(item + 30 + (cs.rgb ? cs.rgb->size() : 0), ctxv);
+      lc.point.read(item, ctxv);
+      if (lc.rgb) lc.rgb->read(item + 30, ctxv);
+      if (lc.extra)
+        lc.extra->read(item + 30 + (lc.rgb ? lc.rgb->size() : 0), ctxv);
     }
     // desync guard: every non-empty layer must be (nearly) fully consumed;
     // the encoder's flush leaves at most ~8 unread bytes
-    cs.for_each_layer([&](Layer& l) {
+    lc.for_each_layer([&](Layer& l) {
       if (l.num_bytes > 8 && l.dec.p + 8 < l.dec.end) bad = true;
     });
     if (bad && count > 1) return -8;
-    done_points += count;
-  }
-  return done_points;
+    return 0;
+  });
+  if (err != 0) return err;
+  return num_points;
 }
 
 // Compress raw LAS 1.4 point records into a layered chunked LAZ block
