@@ -10,11 +10,16 @@ dense XLA formulation tuned for the TPU:
   beyond any real subtile distance (<= 7.5e3 m^2) — so no elementwise
   ``where`` touches the (Nq, Nk) matrix and XLA can fuse distance
   computation straight into the top-k reduction;
-- top-k via ``jax.lax.approx_min_k`` — the TPU PartialReduce unit — ~25x
-  faster than sort-based ``lax.top_k`` at N≈12k (measured on v5e;
-  recall_target 0.95 → measured recall ≈ 0.98). On CPU the same call
-  lowers to an exact sort, so host-side tests stay bit-exact. ``exact=True``
-  forces ``lax.top_k`` everywhere;
+- selection routes to the fused Pallas binned-top-k kernel on TPU
+  (``ops/pallas_knn.py`` — distances never leave VMEM; required at the
+  40k MaximumNumNodes predict shape where a dense (B, Nq, Nk) tensor no
+  longer fits), falling back to ``jax.lax.approx_min_k`` — the TPU
+  PartialReduce unit, ~25x faster than sort-based ``lax.top_k`` at N≈12k —
+  when the kernel is unavailable (CPU, tiny key sets, GSPMD-partitioned
+  meshes outside shard_map). Both share the same binned-approximation
+  semantics (measured recall ≈ 0.98–0.99). On CPU approx_min_k lowers to
+  an exact sort, so host-side tests stay bit-exact. ``exact=True`` forces
+  ``lax.top_k`` everywhere;
 - query chunking bounds the materialized distance tile when batch x Nq x Nk
   would blow past HBM budget.
 
