@@ -317,3 +317,42 @@ def test_layered_laz_roundtrip_multichunk_with_extra_bytes(tmp_path):
     np.testing.assert_array_equal(back.points["Classification"],
                                   pts["Classification"])
     np.testing.assert_array_equal(back.points["entropy"], pts["entropy"])
+
+
+def test_laz_corrupt_streams_fail_loudly(tmp_path):
+    """Bit flips / truncation in the compressed block must surface as
+    exceptions (never crashes, hangs, or silent garbage acceptance) —
+    the decoder guards chunk bounds, counts, and layer sizes."""
+    pts = _synthetic_points(20_000, with_colors=True)
+    laz_path = str(tmp_path / "f.laz")
+    write_las(laz_path, pts, LasHeader(version=(1, 4), point_format=8))
+    blob = bytearray(open(laz_path, "rb").read())
+    h = read_las_header(laz_path)
+    point_off = h._point_offset
+
+    rng = np.random.default_rng(9)
+    failures = 0
+    trials = 12
+    for t in range(trials):
+        bad = bytearray(blob)
+        if t % 3 == 0:      # truncate inside the point block
+            bad = bad[: point_off + int(rng.integers(16, len(bad) - point_off))]
+        elif t % 3 == 1:    # flip bytes in the chunk-table pointer / table
+            for _ in range(4):
+                i = int(rng.integers(point_off, point_off + 8))
+                bad[i] ^= 0xFF
+        else:               # flip bytes mid-stream
+            for _ in range(8):
+                i = int(rng.integers(point_off + 16, len(bad) - 1))
+                bad[i] ^= int(rng.integers(1, 255))
+        p = str(tmp_path / f"bad{t}.laz")
+        open(p, "wb").write(bytes(bad))
+        try:
+            out = read_las(p)
+            # surviving a mid-stream flip is acceptable only if the data
+            # still has the right point count (arithmetic streams can
+            # absorb flips into wrong-but-bounded values)
+            assert len(out.points) == len(pts)
+        except (ValueError, RuntimeError, NotImplementedError):
+            failures += 1
+    assert failures >= trials // 3  # truncations/table damage must raise
