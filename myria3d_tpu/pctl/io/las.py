@@ -189,6 +189,9 @@ def _is_laz(path: str, point_format_byte: int, vlrs: Sequence[LasVLR]) -> bool:
 
 _LASZIP_USER_ID = "laszip encoded"
 _LASZIP_RECORD_ID = 22204
+# LAZ write chunking: points per chunk, or -1 for variable-size chunks
+# (the chunk table then carries per-chunk point counts, laszip-style)
+LAZ_CHUNK_SIZE = 50000
 # laszip VLR item types (spec): BYTE=0, POINT10=6, GPSTIME11=7, RGB12=8,
 # POINT14=10, RGB14=11, RGBNIR14=12, BYTE14=14
 _LAZ_ITEMS_BY_FORMAT = {
@@ -625,7 +628,10 @@ def write_las(
         )
 
     as_laz = path.lower().endswith(".laz")
-    laz_chunk_size = 50000
+    # -1 (VLR U32_MAX) selects variable-size chunking — mainly a test hook
+    # for the reader's variable chunk-table path; production stays at the
+    # laszip default of 50000-point chunks.
+    laz_chunk_size = LAZ_CHUNK_SIZE
     if as_laz:
         if fmt not in _LAZ_ITEMS_BY_FORMAT:
             raise NotImplementedError(

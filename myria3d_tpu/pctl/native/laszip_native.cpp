@@ -1998,28 +1998,56 @@ struct LayeredCodecs {
 
 // Decode the chunk table shared by compressors 2 and 3. Returns false on a
 // malformed table.
+//
+// Fixed-size chunking (chunk_size > 0 in the laszip VLR): the table holds
+// one entropy-coded byte size per chunk (context 1, predicted by the
+// previous size); n_chunks is derived from num_points by the caller and
+// chunk_counts is left empty.
+//
+// Variable-size chunking (``variable`` — VLR chunk_size == U32_MAX): the
+// chunk count comes from the table header, and each iteration interleaves
+// the chunk's POINT COUNT (context 0, predicted by the previous count)
+// with its byte size (context 1) from the same arithmetic stream — the
+// laszip on-disk convention. The decoded counts must sum to num_points.
 static bool read_chunk_table(const U8* file, I64 file_len, I64 point_offset,
-                             I64 n_chunks, std::vector<I64>& chunk_starts) {
+                             I64 n_chunks, bool variable, I64 num_points,
+                             std::vector<I64>& chunk_starts,
+                             std::vector<I64>& chunk_counts) {
   if (point_offset + 8 > file_len) return false;
   I64 table_off = (I64)rd_u64(file + point_offset);
   if (table_off <= 0 || table_off + 8 > file_len) return false;
   U32 version, number_chunks;
   std::memcpy(&version, file + table_off, 4);
   std::memcpy(&number_chunks, file + table_off + 4, 4);
-  if (version != 0 || (I64)number_chunks < n_chunks) return false;
+  if (version != 0) return false;
+  if (variable) {
+    n_chunks = (I64)number_chunks;
+    if (n_chunks <= 0) return false;
+  } else if ((I64)number_chunks < n_chunks) {
+    return false;
+  }
   Decoder tdec;
   tdec.init(file + table_off + 8, file + file_len);
   IntegerCompressor tic;
   tic.setup(32, 2);
   tic.init(false);
   I64 pos = point_offset + 8;
-  I32 prev = 0;
+  I32 prev_sz = 0, prev_cnt = 0;
+  I64 total = 0;
   for (I64 i = 0; i < n_chunks; ++i) {
+    if (variable) {
+      I32 cnt = tic.decompress(tdec, prev_cnt, 0);
+      prev_cnt = cnt;
+      if (cnt <= 0) return false;
+      chunk_counts.push_back((I64)cnt);
+      total += cnt;
+    }
     chunk_starts.push_back(pos);
-    I32 sz = tic.decompress(tdec, prev, 1);
-    prev = sz;
+    I32 sz = tic.decompress(tdec, prev_sz, 1);
+    prev_sz = sz;
     pos += sz;
   }
+  if (variable && total != num_points) return false;
   return true;
 }
 
@@ -2058,8 +2086,20 @@ static int64_t parallel_chunks(I64 n_chunks,
   return err.load();
 }
 
+// Deterministic varying chunk sizes for the variable-chunking writer
+// (chunk_size == -1): exercises the variable chunk-table path; real
+// producers (lastools spatial indexing) pick their own cut points.
+static I64 variable_chunk_target(size_t chunk_index) {
+  static const I64 pattern[4] = {1500, 4000, 700, 2600};
+  return pattern[chunk_index & 3];
+}
+
+// Write the chunk table. ``chunk_counts`` non-empty -> variable-size
+// chunking: interleave each chunk's point count (context 0) with its byte
+// size (context 1), mirroring read_chunk_table.
 static void write_chunk_table(std::vector<U8>& buf, I64 point_offset,
-                              const std::vector<U32>& chunk_bytes) {
+                              const std::vector<U32>& chunk_bytes,
+                              const std::vector<U32>& chunk_counts = {}) {
   U64 table_abs = (U64)(point_offset + (I64)buf.size());
   wr_u64(buf.data(), table_abs);
   U32 version = 0, number_chunks = (U32)chunk_bytes.size();
@@ -2072,10 +2112,14 @@ static void write_chunk_table(std::vector<U8>& buf, I64 point_offset,
   IntegerCompressor tic;
   tic.setup(32, 2);
   tic.init(true);
-  I32 prev = 0;
-  for (U32 sz : chunk_bytes) {
-    tic.compress(enc, prev, (I32)sz, 1);
-    prev = (I32)sz;
+  I32 prev_sz = 0, prev_cnt = 0;
+  for (size_t i = 0; i < chunk_bytes.size(); ++i) {
+    if (!chunk_counts.empty()) {
+      tic.compress(enc, prev_cnt, (I32)chunk_counts[i], 0);
+      prev_cnt = (I32)chunk_counts[i];
+    }
+    tic.compress(enc, prev_sz, (I32)chunk_bytes[i], 1);
+    prev_sz = (I32)chunk_bytes[i];
   }
   enc.done();
 }
@@ -2135,46 +2179,29 @@ int64_t laz_decompress(const uint8_t* file, int64_t file_len,
   I64 point_size = 0;
   for (auto* c : codecs) point_size += c->size();
 
-  // chunk layout
+  // chunk layout. chunk_size == -1 (VLR U32_MAX) -> variable-size chunks:
+  // per-chunk point counts live in the chunk table itself.
+  const bool variable = (chunk_size == -1);
   std::vector<I64> chunk_starts;  // absolute offsets of each chunk
-  I64 first_chunk = point_offset + 8;
-  I64 n_chunks;
-  if (chunk_size <= 0) {
-    n_chunks = 1;
+  std::vector<I64> chunk_counts;  // per-chunk point counts (variable only)
+  if (chunk_size == 0 || chunk_size < -1) {
     chunk_size = (I32)num_points;
-    first_chunk = point_offset;  // unchunked: no table pointer
-    chunk_starts.push_back(first_chunk);
+    chunk_starts.push_back(point_offset);  // unchunked: no table pointer
   } else {
-    n_chunks = (num_points + chunk_size - 1) / chunk_size;
-    if (point_offset + 8 > file_len) {
-      free_codecs(codecs);
-      return -2;
-    }
-    I64 table_off = (I64)rd_u64(file + point_offset);
-    if (table_off <= 0 || table_off + 8 > file_len) {
+    I64 n_chunks =
+        variable ? -1 : (num_points + chunk_size - 1) / chunk_size;
+    if (!read_chunk_table(file, file_len, point_offset, n_chunks, variable,
+                          num_points, chunk_starts, chunk_counts)) {
       free_codecs(codecs);
       return -3;  // missing/garbled chunk table
     }
-    U32 version;
-    std::memcpy(&version, file + table_off, 4);
-    U32 number_chunks;
-    std::memcpy(&number_chunks, file + table_off + 4, 4);
-    if (version != 0 || (I64)number_chunks < n_chunks) {
-      free_codecs(codecs);
-      return -4;
-    }
-    Decoder tdec;
-    tdec.init(file + table_off + 8, file + file_len);
-    IntegerCompressor tic;
-    tic.setup(32, 2);
-    tic.init(false);
-    I64 pos = first_chunk;
-    I32 prev = 0;
-    for (I64 i = 0; i < n_chunks; ++i) {
-      chunk_starts.push_back(pos);
-      I32 sz = tic.decompress(tdec, prev, 1);
-      prev = sz;
-      pos += sz;
+  }
+  std::vector<I64> chunk_firsts(chunk_starts.size(), 0);
+  if (variable) {
+    I64 acc = 0;
+    for (size_t i = 0; i < chunk_counts.size(); ++i) {
+      chunk_firsts[i] = acc;
+      acc += chunk_counts[i];
     }
   }
 
@@ -2184,10 +2211,11 @@ int64_t laz_decompress(const uint8_t* file, int64_t file_len,
   // worker with its own codec state
   I64 n_total_chunks = (I64)chunk_starts.size();
   int64_t err = parallel_chunks(n_total_chunks, [&](I64 ci) -> int64_t {
-    I64 chunk_first = ci * (I64)chunk_size;
+    I64 chunk_first = variable ? chunk_firsts[ci] : ci * (I64)chunk_size;
     if (chunk_first >= num_points) return 0;
-    I64 pts_in_chunk = num_points - chunk_first;
-    if (pts_in_chunk > chunk_size) pts_in_chunk = chunk_size;
+    I64 pts_in_chunk =
+        variable ? chunk_counts[ci] : num_points - chunk_first;
+    if (pts_in_chunk > chunk_size && !variable) pts_in_chunk = chunk_size;
     const U8* p = file + chunk_starts[ci];
     if (chunk_starts[ci] + point_size > file_len) return -5;
     std::vector<ItemCodec*> cc;
@@ -2235,17 +2263,20 @@ int64_t laz_compress(const uint8_t* raw, int64_t num_points,
   }
   I64 point_size = 0;
   for (auto* c : codecs) point_size += c->size();
-  if (chunk_size <= 0) chunk_size = 50000;
+  const bool variable = (chunk_size == -1);
+  if (chunk_size <= 0 && !variable) chunk_size = 50000;
 
   std::vector<U8> buf;
   buf.reserve((size_t)(num_points * point_size / 2 + 4096));
   buf.resize(8);  // chunk table pointer placeholder
 
-  std::vector<U32> chunk_bytes;
+  std::vector<U32> chunk_bytes, chunk_counts;
   I64 done_points = 0;
   while (done_points < num_points) {
     I64 pts_in_chunk = num_points - done_points;
-    if (pts_in_chunk > chunk_size) pts_in_chunk = chunk_size;
+    I64 cap = variable ? variable_chunk_target(chunk_bytes.size())
+                       : (I64)chunk_size;
+    if (pts_in_chunk > cap) pts_in_chunk = cap;
     size_t chunk_start = buf.size();
     const U8* first = raw + done_points * point_size;
     buf.insert(buf.end(), first, first + point_size);
@@ -2267,31 +2298,12 @@ int64_t laz_compress(const uint8_t* raw, int64_t num_points,
       enc.done();
     }
     chunk_bytes.push_back((U32)(buf.size() - chunk_start));
+    if (variable) chunk_counts.push_back((U32)pts_in_chunk);
     done_points += pts_in_chunk;
   }
   free_codecs(codecs);
 
-  // chunk table: absolute offset recorded in the 8-byte pointer
-  U64 table_abs = (U64)(point_offset + (I64)buf.size());
-  wr_u64(buf.data(), table_abs);
-  U32 version = 0, number_chunks = (U32)chunk_bytes.size();
-  size_t t = buf.size();
-  buf.resize(t + 8);
-  std::memcpy(buf.data() + t, &version, 4);
-  std::memcpy(buf.data() + t + 4, &number_chunks, 4);
-  {
-    Encoder enc;
-    enc.init(&buf);
-    IntegerCompressor tic;
-    tic.setup(32, 2);
-    tic.init(true);
-    I32 prev = 0;
-    for (U32 sz : chunk_bytes) {
-      tic.compress(enc, prev, (I32)sz, 1);
-      prev = (I32)sz;
-    }
-    enc.done();
-  }
+  write_chunk_table(buf, point_offset, chunk_bytes, chunk_counts);
 
   if ((I64)buf.size() > out_cap) return -6;
   std::memcpy(out, buf.data(), buf.size());
@@ -2312,21 +2324,33 @@ int64_t laz_decompress_layered(const uint8_t* file, int64_t file_len,
   LayeredCodecs cs;
   if (!cs.setup(item_types, item_sizes, n_items)) return -1;
   const I64 point_size = cs.point_size();
-  if (chunk_size <= 0) return -7;  // variable-size layered chunks: unsupported
+  const bool variable = (chunk_size == -1);  // VLR chunk_size == U32_MAX
+  if (chunk_size <= 0 && !variable) return -7;  // layered is always chunked
 
-  I64 n_chunks = (num_points + chunk_size - 1) / chunk_size;
-  std::vector<I64> chunk_starts;
-  if (!read_chunk_table(file, file_len, point_offset, n_chunks, chunk_starts))
+  I64 n_chunks =
+      variable ? -1 : (num_points + chunk_size - 1) / chunk_size;
+  std::vector<I64> chunk_starts, chunk_counts;
+  if (!read_chunk_table(file, file_len, point_offset, n_chunks, variable,
+                        num_points, chunk_starts, chunk_counts))
     return -3;
+  std::vector<I64> chunk_firsts(chunk_starts.size(), 0);
+  if (variable) {
+    I64 acc = 0;
+    for (size_t i = 0; i < chunk_counts.size(); ++i) {
+      chunk_firsts[i] = acc;
+      acc += chunk_counts[i];
+    }
+  }
 
   // chunks are independent (each carries its raw seed point, count, and
   // layer streams) — decode across threads, one LayeredCodecs per worker
   I64 n_total_chunks = (I64)chunk_starts.size();
   int64_t err = parallel_chunks(n_total_chunks, [&](I64 ci) -> int64_t {
-    I64 chunk_first = ci * (I64)chunk_size;
+    I64 chunk_first = variable ? chunk_firsts[ci] : ci * (I64)chunk_size;
     if (chunk_first >= num_points) return 0;
-    I64 expected = num_points - chunk_first;
-    if (expected > chunk_size) expected = chunk_size;
+    I64 expected =
+        variable ? chunk_counts[ci] : num_points - chunk_first;
+    if (!variable && expected > chunk_size) expected = chunk_size;
     LayeredCodecs lc;
     lc.setup(item_types, item_sizes, n_items);
     const U8* p = file + chunk_starts[ci];
@@ -2391,17 +2415,20 @@ int64_t laz_compress_layered(const uint8_t* raw, int64_t num_points,
   LayeredCodecs cs;
   if (!cs.setup(item_types, item_sizes, n_items)) return -1;
   const I64 point_size = cs.point_size();
-  if (chunk_size <= 0) chunk_size = 50000;
+  const bool variable = (chunk_size == -1);
+  if (chunk_size <= 0 && !variable) chunk_size = 50000;
 
   std::vector<U8> buf;
   buf.reserve((size_t)(num_points * point_size / 2 + 4096));
   buf.resize(8);  // chunk table pointer placeholder
 
-  std::vector<U32> chunk_bytes;
+  std::vector<U32> chunk_bytes, chunk_counts;
   I64 done_points = 0;
   while (done_points < num_points) {
     I64 pts_in_chunk = num_points - done_points;
-    if (pts_in_chunk > chunk_size) pts_in_chunk = chunk_size;
+    I64 cap = variable ? variable_chunk_target(chunk_bytes.size())
+                       : (I64)chunk_size;
+    if (pts_in_chunk > cap) pts_in_chunk = cap;
     size_t chunk_start = buf.size();
     const U8* first = raw + done_points * point_size;
     buf.insert(buf.end(), first, first + point_size);
@@ -2440,10 +2467,11 @@ int64_t laz_compress_layered(const uint8_t* raw, int64_t num_points,
         buf.insert(buf.end(), l.bytes.begin(), l.bytes.end());
     });
     chunk_bytes.push_back((U32)(buf.size() - chunk_start));
+    if (variable) chunk_counts.push_back((U32)pts_in_chunk);
     done_points += pts_in_chunk;
   }
 
-  write_chunk_table(buf, point_offset, chunk_bytes);
+  write_chunk_table(buf, point_offset, chunk_bytes, chunk_counts);
   if ((I64)buf.size() > out_cap) return -6;
   std::memcpy(out, buf.data(), buf.size());
   return (I64)buf.size();

@@ -319,6 +319,39 @@ def test_layered_laz_roundtrip_multichunk_with_extra_bytes(tmp_path):
     np.testing.assert_array_equal(back.points["entropy"], pts["entropy"])
 
 
+@pytest.mark.parametrize("fmt", [3, 8])
+def test_laz_variable_size_chunks_roundtrip(tmp_path, fmt, monkeypatch):
+    """Variable-size chunking (VLR chunk_size == U32_MAX): the chunk table
+    carries interleaved per-chunk point counts + byte sizes. Both the
+    pointwise (fmt 0-3) and layered (fmt 6-8) decoders must locate chunks
+    from the decoded counts; 12k points over the writer's varying
+    1500/4000/700/2600 pattern crosses several chunk boundaries."""
+    import myria3d_tpu.pctl.io.las as las_mod
+
+    pts = _synthetic_points(12_000, with_colors=True)
+    header = LasHeader(
+        version=(1, 4) if fmt >= 6 else (1, 2), point_format=fmt,
+        offsets=(862000.0, 6652000.0, 0.0),
+    )
+    las_path = str(tmp_path / "v.las")
+    laz_path = str(tmp_path / "v.laz")
+    write_las(las_path, pts, header)
+    monkeypatch.setattr(las_mod, "LAZ_CHUNK_SIZE", -1)
+    write_las(laz_path, pts, header)
+    # the laszip VLR really records variable chunking
+    h = read_las_header(laz_path)
+    from myria3d_tpu.pctl.io.las import _parse_laszip_vlr
+
+    laszip = _parse_laszip_vlr(h.vlrs)
+    assert laszip is not None and laszip["chunk_size"] == -1
+    a = read_las(las_path)
+    b = read_las(laz_path)
+    assert a.points.dtype == b.points.dtype
+    for name in a.points.dtype.names:
+        np.testing.assert_array_equal(a.points[name], b.points[name],
+                                      err_msg=name)
+
+
 def test_laz_corrupt_streams_fail_loudly(tmp_path):
     """Bit flips / truncation in the compressed block must surface as
     exceptions (never crashes, hangs, or silent garbage acceptance) —
