@@ -15,11 +15,14 @@ TPU-layout notes (why the code looks the way it does):
 - Coordinates travel TRANSPOSED, ``(4, N)``: a ``(N, 4)`` array has a
   4-wide lane (minor) dimension that Mosaic pads to 128 lanes — 32x VMEM
   waste (an OOM at Nk=40k) and a relayout on every slice.
-- The kernel ranks by ``|k|^2 - 2 q.k``, NOT the full squared distance:
-  dropping the per-query ``|q|^2`` term (a rank-invariant constant per
-  row) means no (TQ, 1) column vector is ever needed, so the query block
-  is consumed directly by the MXU ``dot_general`` with zero transposes.
-  The caller adds ``|q|^2`` back outside the kernel.
+- The default ("vpu") kernel accumulates TRUE squared distances as
+  broadcast outer differences on the VPU. The original ("mxu") variant
+  ranks by ``|k|^2 - 2 q.k`` via ``dot_general`` — but a contraction
+  dimension of 4 runs the 128x128 systolic array at ~3% utilization, and
+  the f32 HIGHEST precision it needs multiplies that by 6 bf16 passes:
+  measured 1.3x (12k) to 2.8x (40k) slower than the VPU arithmetic, with
+  identical selected indices (docs/perf_notes.md). Both variants stay
+  resident in VMEM throughout.
 
 Approximation semantics match ``lax.approx_min_k``: two true neighbors are
 both kept unless they collide in the same bin (positions ``bins`` apart);
@@ -55,24 +58,38 @@ _INF = 3e38
 _BIG_I = 2**30
 
 
-def _knn_kernel(qt_ref, kt_ref, idx_ref, s_ref, *, k_out: int, bins: int):
-    """One (cloud, query-tile) step.
+def _extract_topk(state_s, state_i, idx_ref, s_ref, k_out: int):
+    for t in range(k_out):                                  # static unroll
+        m = jnp.min(state_s, axis=1, keepdims=True)         # (TQ, 1)
+        sel = state_s == m
+        # index of the winning bin via a min-reduce — no cross-lane gather
+        am = jnp.min(
+            jnp.where(sel, state_i, jnp.int32(_BIG_I)), axis=1, keepdims=True
+        )
+        s_ref[0, :, t:t + 1] = m
+        idx_ref[0, :, t:t + 1] = am
+        state_s = jnp.where(sel & (state_i == am), _INF, state_s)
 
-    qt_ref: (4, TQ) VMEM — transposed query coords;
-    kt_ref: (4, Nk_pad) VMEM — transposed key coords, Nk_pad % bins == 0;
-    idx_ref/s_ref: (TQ, k_out) — indices and scores (|k|^2 - 2 q.k),
-    score-ascending (== distance-ascending).
+
+def _knn_kernel(qt_ref, kt_ref, idx_ref, s_ref, *, k_out: int, bins: int):
+    """One (cloud, query-tile) step — MXU cross-term variant.
+
+    qt_ref: (1, 4, TQ) VMEM — transposed query coords;
+    kt_ref: (1, 4, Nk_pad) VMEM — transposed key coords, Nk_pad % bins == 0;
+    idx_ref/s_ref: (1, TQ, k_out) — indices and scores (|k|^2 - 2 q.k),
+    score-ascending (== distance-ascending). The caller adds the
+    rank-invariant |q|^2 back outside.
     """
-    qt = qt_ref[:]                                          # (4, TQ)
+    qt = qt_ref[0]                                          # (4, TQ)
     tq = qt.shape[1]
-    n_chunks = kt_ref.shape[1] // bins
+    n_chunks = kt_ref.shape[2] // bins
 
     state_s = jnp.full((tq, bins), _INF, jnp.float32)
     state_i = jnp.zeros((tq, bins), jnp.int32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (tq, bins), 1)
 
     for c in range(n_chunks):                               # static unroll
-        kc = kt_ref[:, c * bins:(c + 1) * bins]             # (4, bins)
+        kc = kt_ref[0, :, c * bins:(c + 1) * bins]          # (4, bins)
         kn = jnp.sum(kc * kc, axis=0, keepdims=True)        # (1, bins)
         cross = jax.lax.dot_general(
             qt, kc,
@@ -85,16 +102,50 @@ def _knn_kernel(qt_ref, kt_ref, idx_ref, s_ref, *, k_out: int, bins: int):
         state_s = jnp.where(better, s, state_s)
         state_i = jnp.where(better, lane + c * bins, state_i)
 
-    for t in range(k_out):                                  # static unroll
-        m = jnp.min(state_s, axis=1, keepdims=True)         # (TQ, 1)
-        sel = state_s == m
-        # index of the winning bin via a min-reduce — no cross-lane gather
-        am = jnp.min(
-            jnp.where(sel, state_i, jnp.int32(_BIG_I)), axis=1, keepdims=True
-        )
-        s_ref[:, t:t + 1] = m
-        idx_ref[:, t:t + 1] = am
-        state_s = jnp.where(sel & (state_i == am), _INF, state_s)
+    _extract_topk(state_s, state_i, idx_ref, s_ref, k_out)
+
+
+def _knn_kernel_vpu(q_ref, kt_ref, idx_ref, s_ref, *, k_out: int, bins: int):
+    """One (cloud, query-tile) step — VPU difference variant.
+
+    Scores are TRUE squared distances sum_d (q_d - k_d)^2 accumulated on the
+    VPU as broadcast outer differences. Rationale: the MXU variant's
+    dot_general has contraction dim 4 (3% systolic utilization) at
+    Precision.HIGHEST (6 bf16 passes) — ~200 ms of MXU time at the 40k
+    production shape — while the equivalent VPU arithmetic is ~10 ops per
+    (query, key) element. Queries arrive UN-transposed as a (1, TQ, 4)
+    block so q_d is a (TQ, 1) column with no in-kernel transpose (an
+    in-kernel (4, TQ) transpose re-materialized per unrolled chunk and
+    cost +33% at the 40k shape). The query w column is always 0
+    (ops/knn._augment_queries), so the pad term is seeded from the key row
+    alone.
+    """
+    q = q_ref[0]                                            # (TQ, 4)
+    tq = q.shape[0]
+    n_chunks = kt_ref.shape[2] // bins
+    q0 = q[:, 0:1]
+    q1 = q[:, 1:2]
+    q2 = q[:, 2:3]                                          # (TQ, 1) each
+
+    state_s = jnp.full((tq, bins), _INF, jnp.float32)
+    state_i = jnp.zeros((tq, bins), jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, bins), 1)
+
+    for c in range(n_chunks):                               # static unroll
+        kc = kt_ref[0, :, c * bins:(c + 1) * bins]          # (4, bins)
+        kw = kc[3:4, :]
+        s = jnp.broadcast_to(kw * kw, (tq, bins))           # pad term w^2
+        d0 = q0 - kc[0:1, :]
+        s = s + d0 * d0
+        d1 = q1 - kc[1:2, :]
+        s = s + d1 * d1
+        d2 = q2 - kc[2:3, :]
+        s = s + d2 * d2
+        better = s < state_s
+        state_s = jnp.where(better, s, state_s)
+        state_i = jnp.where(better, lane + c * bins, state_i)
+
+    _extract_topk(state_s, state_i, idx_ref, s_ref, k_out)
 
 
 def _pad_axis(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
@@ -108,7 +159,7 @@ def _pad_axis(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "tile_q", "bins", "interpret"),
+    static_argnames=("k", "tile_q", "bins", "interpret", "variant"),
 )
 def knn_topk_pallas(
     q4: jnp.ndarray,           # (B, Nq, 4) centered + pad-augmented queries
@@ -117,6 +168,7 @@ def knn_topk_pallas(
     tile_q: int = TILE_Q,
     bins: int = BINS,
     interpret: bool = False,
+    variant: str = "vpu",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Binned approximate top-k nearest keys for every query.
 
@@ -124,24 +176,30 @@ def knn_topk_pallas(
     (w = 1e4) surface with d2 >= 1e8 exactly like the dense path, so the
     caller's validity thresholding is unchanged.
 
+    ``variant`` picks the in-kernel score formulation: "vpu" (default)
+    accumulates true (q-k)^2 differences on the VPU; "mxu" ranks by
+    |k|^2 - 2 q.k via dot_general (kept for comparison — measured 2.6-3.4x
+    slower because contraction dim 4 at HIGHEST precision runs the systolic
+    array at 3% utilization, see docs/perf_notes.md).
+
     Non-differentiable by declaration (zero-tangent custom_jvp): neighbor
     indices are discrete and the forward recomputes any distance it needs
     gradients for, while pallas_call itself has no AD rule — without the
     wrapper, jit(grad(train_step)) fails to linearize.
     """
-    return _topk_nodiff(q4, k4, k, tile_q, bins, interpret)
+    return _topk_nodiff(q4, k4, k, tile_q, bins, interpret, variant)
 
 
-@functools.partial(jax.custom_jvp, nondiff_argnums=(2, 3, 4, 5))
-def _topk_nodiff(q4, k4, k, tile_q, bins, interpret):
-    return _topk_impl(q4, k4, k, tile_q, bins, interpret)
+@functools.partial(jax.custom_jvp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _topk_nodiff(q4, k4, k, tile_q, bins, interpret, variant):
+    return _topk_impl(q4, k4, k, tile_q, bins, interpret, variant)
 
 
 @_topk_nodiff.defjvp
-def _topk_nodiff_jvp(k, tile_q, bins, interpret, primals, tangents):
+def _topk_nodiff_jvp(k, tile_q, bins, interpret, variant, primals, tangents):
     import numpy as np
 
-    out = _topk_nodiff(*primals, k, tile_q, bins, interpret)
+    out = _topk_nodiff(*primals, k, tile_q, bins, interpret, variant)
     idx, d2 = out
     idx_tan = np.zeros(idx.shape, jax.dtypes.float0)  # int output: float0
     return out, (idx_tan, jnp.zeros_like(d2))
@@ -154,6 +212,7 @@ def _topk_impl(
     tile_q: int = TILE_Q,
     bins: int = BINS,
     interpret: bool = False,
+    variant: str = "vpu",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     b, nq, _ = q4.shape
     nk = k4.shape[1]
@@ -171,42 +230,69 @@ def _topk_impl(
 
     nq_pad = q4p.shape[1]
     nk_pad = k4p.shape[1]
-    qt = jnp.swapaxes(q4p, 1, 2)                            # (B, 4, Nq_pad)
     kt = jnp.swapaxes(k4p, 1, 2)                            # (B, 4, Nk_pad)
-    kernel = functools.partial(_knn_kernel, k_out=k, bins=bins)
+    k_kernel = k
+    if variant == "vpu":
+        # Round the neighbor axis up to a multiple of 16 (sliced back
+        # below): with the un-transposed (B, Nq, 4) query operand AND a
+        # k=10 output, XLA stack-allocates the whole output tuple in
+        # scoped VMEM and OOMs at the 65k-query interp shape (measured:
+        # k=16 at the same shape compiles and runs; k=10 fails at any
+        # large Nq; the transposed-query MXU variant compiles k=10 fine).
+        k_kernel = max(16, -(-k // 16) * 16)
+        # queries travel un-transposed: the kernel wants (TQ, 1) columns
+        q_in = q4p                                          # (B, Nq_pad, 4)
+        q_spec = pl.BlockSpec(
+            (1, tile_q, 4), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        q_in = jnp.swapaxes(q4p, 1, 2)                      # (B, 4, Nq_pad)
+        q_spec = pl.BlockSpec(
+            (1, 4, tile_q), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM
+        )
+    kern_fn = _knn_kernel_vpu if variant == "vpu" else _knn_kernel
+    kernel = functools.partial(kern_fn, k_out=k_kernel, bins=bins)
 
-    def one(qtb, ktb):
-        return pl.pallas_call(
-            kernel,
-            grid=(nq_pad // tile_q,),
-            in_specs=[
-                pl.BlockSpec(
-                    (4, tile_q), lambda i: (0, i), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec(
-                    (4, nk_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
-                ),
-            ],
-            out_specs=[
-                pl.BlockSpec(
-                    (tile_q, k), lambda i: (i, 0), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec(
-                    (tile_q, k), lambda i: (i, 0), memory_space=pltpu.VMEM
-                ),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((nq_pad, k), jnp.int32),
-                jax.ShapeDtypeStruct((nq_pad, k), jnp.float32),
-            ],
-            interpret=interpret,
-        )(qtb, ktb)
-
-    idx, score = jax.vmap(one)(qt, kt)
-    # restore the rank-invariant |q|^2 term dropped inside the kernel
-    qn = jnp.sum(q4 * q4, axis=-1, keepdims=True)           # (B, Nq, 1)
-    d2 = jnp.maximum(score[:, :nq] + qn, 0.0)
-    return idx[:, :nq], d2
+    # The batch rides the (outer, slowest) grid dimension instead of a
+    # vmap over per-cloud pallas_calls: one launch total, the key block is
+    # revisited across the inner query-tile dimension so it stays VMEM-
+    # resident per cloud, and XLA never sees a vmapped custom call (which
+    # it answered with a scoped-VMEM stack allocation of the whole output
+    # at the 65k-query interp shape — an OOM).
+    idx, score = pl.pallas_call(
+        kernel,
+        grid=(b, nq_pad // tile_q),
+        in_specs=[
+            q_spec,
+            pl.BlockSpec(
+                (1, 4, nk_pad), lambda b, i: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, tile_q, k_kernel), lambda b, i: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_q, k_kernel), lambda b, i: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nq_pad, k_kernel), jnp.int32),
+            jax.ShapeDtypeStruct((b, nq_pad, k_kernel), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q_in, kt)
+    if variant == "vpu":
+        # the kernel already produced true squared distances
+        d2 = jnp.maximum(score[:, :nq, :k], 0.0)
+    else:
+        # restore the rank-invariant |q|^2 term dropped inside the kernel
+        qn = jnp.sum(q4 * q4, axis=-1, keepdims=True)       # (B, Nq, 1)
+        d2 = jnp.maximum(score[:, :nq, :k] + qn, 0.0)
+    return idx[:, :nq, :k], d2
 
 
 def knn_pallas_available(k: int, nk: int) -> bool:

@@ -8,6 +8,7 @@ tested bit-level against the brute-force oracle. With fewer bins it matches
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from myria3d_tpu.ops.knn import _augment_keys, _augment_queries
 from myria3d_tpu.ops.pallas_knn import knn_topk_pallas
@@ -20,28 +21,55 @@ def _np_knn(qpos, kpos, kvalid, k):
     return idx, np.take_along_axis(d2, idx, axis=1)
 
 
-def _run(pos_q, pos_k, kvalid, k, bins, tile_q=8):
+def _run(pos_q, pos_k, kvalid, k, bins, tile_q=8, variant="vpu"):
     q4 = _augment_queries(jnp.asarray(pos_q))
     k4 = _augment_keys(jnp.asarray(pos_k), jnp.asarray(kvalid))
     idx, d2 = knn_topk_pallas(
-        q4, k4, k, tile_q=tile_q, bins=bins, interpret=True
+        q4, k4, k, tile_q=tile_q, bins=bins, interpret=True, variant=variant
     )
     return np.asarray(idx), np.asarray(d2)
 
 
-def test_exact_when_bins_cover_keys():
+@pytest.mark.parametrize("variant", ["vpu", "mxu"])
+def test_exact_when_bins_cover_keys(variant):
     rng = np.random.default_rng(0)
     B, Nq, Nk, K = 2, 16, 128, 8
     q = rng.uniform(-1, 1, (B, Nq, 3)).astype(np.float32)
     kp = rng.uniform(-1, 1, (B, Nk, 3)).astype(np.float32)
     valid = np.ones((B, Nk), bool)
     valid[1, 100:] = False
-    idx, d2 = _run(q, kp, valid, K, bins=128)
+    idx, d2 = _run(q, kp, valid, K, bins=128, variant=variant)
     for b in range(B):
         ref_idx, ref_d2 = _np_knn(q[b], kp[b], valid[b], K)
         np.testing.assert_allclose(d2[b], ref_d2, atol=1e-5)
         for i in range(Nq):
             assert set(idx[b, i]) == set(ref_idx[i]), (b, i)
+
+
+def test_nn1_delegation_exact_at_georeferenced_scale():
+    """k=1 via the shared binned kernel is EXACT (the global min survives
+    per-bin minima for any binning); checked against a float64 brute-force
+    oracle at Lambert-93 coordinate magnitudes (the regression scale of the
+    round-1 f32-cancellation bug)."""
+    from myria3d_tpu.ops.pallas_nn1 import nearest_neighbor_pallas
+
+    rng = np.random.default_rng(7)
+    B, Nq, Nk = 2, 64, 640  # Nk pads to bins inside the kernel
+    base = np.array([650_000.0, 6_600_000.0, 120.0], np.float64)
+    kp = (base + rng.uniform(0, 50, (B, Nk, 3))).astype(np.float32)
+    q = (base + rng.uniform(0, 50, (B, Nq, 3))).astype(np.float32)
+    valid = np.ones((B, Nk), bool)
+    valid[0, 600:] = False
+    idx, d2 = nearest_neighbor_pallas(
+        jnp.asarray(q), jnp.asarray(kp), jnp.asarray(valid), interpret=True
+    )
+    idx, d2 = np.asarray(idx), np.asarray(d2)
+    for b in range(B):
+        ref = ((q[b].astype(np.float64)[:, None]
+                - kp[b].astype(np.float64)[None]) ** 2).sum(-1)
+        ref[:, ~valid[b]] = np.inf
+        np.testing.assert_array_equal(idx[b], ref.argmin(1))
+        np.testing.assert_allclose(d2[b], ref.min(1), rtol=1e-3, atol=1e-2)
 
 
 def test_distances_ascending_and_recall_binned():
