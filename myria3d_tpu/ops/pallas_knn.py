@@ -214,6 +214,8 @@ def _topk_impl(
     interpret: bool = False,
     variant: str = "vpu",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    if variant not in ("vpu", "mxu"):
+        raise ValueError(f"unknown kNN kernel variant {variant!r}")
     b, nq, _ = q4.shape
     nk = k4.shape[1]
     q4p = _pad_axis(q4, 1, tile_q)

@@ -2012,7 +2012,8 @@ struct LayeredCodecs {
 static bool read_chunk_table(const U8* file, I64 file_len, I64 point_offset,
                              I64 n_chunks, bool variable, I64 num_points,
                              std::vector<I64>& chunk_starts,
-                             std::vector<I64>& chunk_counts) {
+                             std::vector<I64>& chunk_counts,
+                             std::vector<I64>& chunk_firsts) {
   if (point_offset + 8 > file_len) return false;
   I64 table_off = (I64)rd_u64(file + point_offset);
   if (table_off <= 0 || table_off + 8 > file_len) return false;
@@ -2022,7 +2023,10 @@ static bool read_chunk_table(const U8* file, I64 file_len, I64 point_offset,
   if (version != 0) return false;
   if (variable) {
     n_chunks = (I64)number_chunks;
-    if (n_chunks <= 0) return false;
+    // every chunk holds >= 1 point, so a table claiming more chunks than
+    // points is corrupt — bound BEFORE the decode loop (a crafted 2^32-1
+    // header would otherwise drive ~4.3e9 iterations / ~69 GB of growth)
+    if (n_chunks <= 0 || n_chunks > num_points) return false;
   } else if ((I64)number_chunks < n_chunks) {
     return false;
   }
@@ -2038,13 +2042,17 @@ static bool read_chunk_table(const U8* file, I64 file_len, I64 point_offset,
     if (variable) {
       I32 cnt = tic.decompress(tdec, prev_cnt, 0);
       prev_cnt = cnt;
-      if (cnt <= 0) return false;
+      if (cnt <= 0 || total + cnt > num_points) return false;
       chunk_counts.push_back((I64)cnt);
+      chunk_firsts.push_back(total);
       total += cnt;
     }
     chunk_starts.push_back(pos);
     I32 sz = tic.decompress(tdec, prev_sz, 1);
     prev_sz = sz;
+    // a corrupt table can decode any I32 including negatives; starts must
+    // stay inside the file or the workers would read before/past the buffer
+    if (sz <= 0 || pos + sz > file_len) return false;
     pos += sz;
   }
   if (variable && total != num_points) return false;
@@ -2184,6 +2192,7 @@ int64_t laz_decompress(const uint8_t* file, int64_t file_len,
   const bool variable = (chunk_size == -1);
   std::vector<I64> chunk_starts;  // absolute offsets of each chunk
   std::vector<I64> chunk_counts;  // per-chunk point counts (variable only)
+  std::vector<I64> chunk_firsts;  // prefix sums of counts (variable only)
   if (chunk_size == 0 || chunk_size < -1) {
     chunk_size = (I32)num_points;
     chunk_starts.push_back(point_offset);  // unchunked: no table pointer
@@ -2191,17 +2200,10 @@ int64_t laz_decompress(const uint8_t* file, int64_t file_len,
     I64 n_chunks =
         variable ? -1 : (num_points + chunk_size - 1) / chunk_size;
     if (!read_chunk_table(file, file_len, point_offset, n_chunks, variable,
-                          num_points, chunk_starts, chunk_counts)) {
+                          num_points, chunk_starts, chunk_counts,
+                          chunk_firsts)) {
       free_codecs(codecs);
       return -3;  // missing/garbled chunk table
-    }
-  }
-  std::vector<I64> chunk_firsts(chunk_starts.size(), 0);
-  if (variable) {
-    I64 acc = 0;
-    for (size_t i = 0; i < chunk_counts.size(); ++i) {
-      chunk_firsts[i] = acc;
-      acc += chunk_counts[i];
     }
   }
 
@@ -2329,18 +2331,11 @@ int64_t laz_decompress_layered(const uint8_t* file, int64_t file_len,
 
   I64 n_chunks =
       variable ? -1 : (num_points + chunk_size - 1) / chunk_size;
-  std::vector<I64> chunk_starts, chunk_counts;
+  std::vector<I64> chunk_starts, chunk_counts, chunk_firsts;
   if (!read_chunk_table(file, file_len, point_offset, n_chunks, variable,
-                        num_points, chunk_starts, chunk_counts))
+                        num_points, chunk_starts, chunk_counts,
+                        chunk_firsts))
     return -3;
-  std::vector<I64> chunk_firsts(chunk_starts.size(), 0);
-  if (variable) {
-    I64 acc = 0;
-    for (size_t i = 0; i < chunk_counts.size(); ++i) {
-      chunk_firsts[i] = acc;
-      acc += chunk_counts[i];
-    }
-  }
 
   // chunks are independent (each carries its raw seed point, count, and
   // layer streams) — decode across threads, one LayeredCodecs per worker

@@ -229,17 +229,32 @@ class _Composer:
                 continue
             self.compose_file(full_group, chosen, root)
 
-    def scan_overrides(self, group: str, name: str) -> Dict[str, str]:
-        """Collect ``override /group: choice`` entries from a config file's defaults."""
+    def scan_overrides(
+        self, group: str, name: str, _seen: Optional[set] = None
+    ) -> Dict[str, str]:
+        """Collect ``override /group: choice`` entries from a config file's
+        defaults, recursing into bare file includes (an experiment layered on
+        another experiment inherits its overrides; the including file's own
+        entries win)."""
         path = _find_config_file(self.config_dir, group, name)
         if path is None:
             return {}
+        _seen = _seen if _seen is not None else set()
+        if path in _seen:
+            return {}
+        _seen.add(path)
         content, _ = _load_yaml_file(path)
         found: Dict[str, str] = {}
         for entry in content.get("defaults", []) or []:
             is_self, is_override, sub_group, choice = _parse_defaults_entry(entry)
-            if is_override and sub_group not in ("", "__ignore__") and choice is not None:
+            if is_self or choice is None:
+                continue
+            if is_override and sub_group not in ("", "__ignore__"):
                 found[self.resolve_group(group, sub_group)] = choice
+            elif not is_override and sub_group == "":
+                # bare include within the same group: inherit its overrides
+                for k, v in self.scan_overrides(group, choice, _seen).items():
+                    found.setdefault(k, v)
         return found
 
 

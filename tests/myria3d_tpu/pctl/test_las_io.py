@@ -352,6 +352,46 @@ def test_laz_variable_size_chunks_roundtrip(tmp_path, fmt, monkeypatch):
                                       err_msg=name)
 
 
+def test_laz_variable_chunks_corrupt_table_fails_fast(tmp_path, monkeypatch):
+    """A crafted variable-chunk table must be rejected BEFORE any unbounded
+    work: number_chunks=2^32-1 would otherwise drive ~4.3e9 decode
+    iterations (~69 GB of table growth), and a negative decoded chunk size
+    would walk the read cursor out of the file."""
+    import struct as _struct
+
+    import myria3d_tpu.pctl.io.las as las_mod
+
+    pts = _synthetic_points(6_000, with_colors=True)
+    laz_path = str(tmp_path / "v.laz")
+    monkeypatch.setattr(las_mod, "LAZ_CHUNK_SIZE", -1)
+    write_las(laz_path, pts, LasHeader(version=(1, 4), point_format=8))
+    blob = bytearray(open(laz_path, "rb").read())
+    h = read_las_header(laz_path)
+    point_off = h._point_offset
+    table_off = _struct.unpack_from("<Q", blob, point_off)[0]
+
+    # chunk count far beyond the point count -> immediate rejection
+    bad = bytearray(blob)
+    _struct.pack_into("<I", bad, table_off + 4, 0xFFFFFFFF)
+    p = tmp_path / "huge_chunks.laz"
+    p.write_bytes(bytes(bad))
+    import time as _time
+
+    t0 = _time.perf_counter()
+    with pytest.raises(Exception):
+        read_las(str(p))
+    assert _time.perf_counter() - t0 < 10.0  # fails fast, no unbounded loop
+
+    # garbled table payload (counts/sizes stream) -> loud failure too
+    bad2 = bytearray(blob)
+    for i in range(table_off + 8, min(table_off + 24, len(bad2))):
+        bad2[i] ^= 0xFF
+    p2 = tmp_path / "garbled_table.laz"
+    p2.write_bytes(bytes(bad2))
+    with pytest.raises(Exception):
+        read_las(str(p2))
+
+
 def test_laz_corrupt_streams_fail_loudly(tmp_path):
     """Bit flips / truncation in the compressed block must surface as
     exceptions (never crashes, hangs, or silent garbage acceptance) —

@@ -106,3 +106,24 @@ def test_to_yaml_roundtrip():
     text = to_yaml(cfg)
     assert "task_name: fit" in text
     assert select(cfg, "datamodule.subtile_width") == 50
+
+
+def test_experiment_layered_on_experiment_inherits_overrides():
+    """An experiment whose defaults include another experiment (bare file
+    include) must inherit the included file's `override /group: choice`
+    entries — the pre-scan recurses (regression: MultiNode silently lost
+    MultiChip's light-augmentations override and trained without any)."""
+    cfg = compose(
+        CONFIG_DIR, "config.yaml",
+        ["experiment=RandLaNet_base_run_FR-MultiNode", "logger=csv"],
+    )
+    aug = select(cfg, "datamodule.transforms.augmentations")
+    assert aug and "x_flip" in aug          # from MultiChip's override
+    assert select(cfg, "trainer.num_nodes") == 2   # own value wins
+    # CLI group choice still beats the inherited override
+    cfg2 = compose(
+        CONFIG_DIR, "config.yaml",
+        ["experiment=RandLaNet_base_run_FR-MultiNode", "logger=csv",
+         "datamodule/transforms/augmentations=none"],
+    )
+    assert not select(cfg2, "datamodule.transforms.augmentations")
