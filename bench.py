@@ -81,6 +81,11 @@ def main() -> None:
     )
     out = jax.device_get(step(*args))  # warmup/compile
     assert np.isfinite(out)
+    # Absorb the tunneled backend's first-executable slow path: the first
+    # timed loop of a fresh process measures 25-200x high (one-time runtime
+    # warm-up amortized over it), steady state arrives after ~10 fetches.
+    for _ in range(12):
+        out = jax.device_get(step(*args))
 
     n_iters = 10
     t0 = time.perf_counter()

@@ -270,7 +270,7 @@ class Model:
             )
             full = knn_interpolate(
                 logits, sampled_pos, mask, full_pos, full_mask,
-                k=self.interpolation_k,
+                k=self.interpolation_k, fused_payload=True,
             )
             # f16 on the wire: the (B, M, C) full-cloud logits are the
             # predict loop's device->host payload; halving it matters on

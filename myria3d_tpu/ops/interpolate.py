@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from myria3d_tpu.ops.knn import gather_neighbors, knn
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "fused_payload"))
 def knn_interpolate(
     x: jnp.ndarray,            # (B, Ns, C) features at source points
     pos_src: jnp.ndarray,      # (B, Ns, 3)
@@ -29,8 +29,15 @@ def knn_interpolate(
     pos_tgt: jnp.ndarray,      # (B, Nt, 3)
     tgt_mask: Optional[jnp.ndarray],  # (B, Nt) bool
     k: int = 3,
+    fused_payload: bool = False,
 ) -> jnp.ndarray:
-    """Interpolate source features onto target points. Returns (B, Nt, C)."""
+    """Interpolate source features onto target points. Returns (B, Nt, C).
+
+    ``fused_payload=True`` opts into the fused Pallas kNN+weighting kernel
+    (predict/eval only: it has no AD rule, so it must never enter a
+    differentiated graph — training call sites such as the PointNet2 FP
+    modules keep the default).
+    """
     if k == 1:
         from myria3d_tpu.ops.pallas_nn1 import nn1_available
 
@@ -45,6 +52,19 @@ def knn_interpolate(
             out = jax.vmap(lambda xb, ib: xb[ib])(x, jnp.where(valid1, idx1, 0))
             out = jnp.where(valid1[..., None], out, 0.0)
             return out
+    from myria3d_tpu.ops.pallas_knn import (
+        interp_pallas_available,
+        knn_interpolate_pallas,
+    )
+
+    if fused_payload and interp_pallas_available(k, pos_src.shape[1], x.shape[-1]):
+        # Fused kernel: payload rides VMEM beside the per-bin minima, so
+        # the (B, Nt, K, C) logits gather (the interp step's largest op,
+        # ~12 ns/row floor) never materializes.
+        out = knn_interpolate_pallas(x, pos_src, src_mask, pos_tgt, k=k)
+        if tgt_mask is not None:
+            out = jnp.where(tgt_mask[..., None], out, 0.0)
+        return out
     idx, d2, neigh_valid = knn(pos_tgt, pos_src, src_mask, k, query_mask=tgt_mask)
     w = 1.0 / jnp.maximum(d2, 1e-16)                    # (B, Nt, K)
     w = jnp.where(neigh_valid, w, 0.0)

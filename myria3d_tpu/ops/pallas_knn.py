@@ -51,6 +51,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_Q = 256     # query rows per grid step (sublane axis of the score tile)
 BINS = 512       # running minima per query (lane axis; key chunk width)
+_UNROLL = 8      # chunks per fori_loop group in the fused interp kernel
+_FULL_UNROLL_MAX = 24   # full static unroll up to this many key chunks
 
 # plain python scalars: jnp constants at module scope would be captured
 # as consts by the traced kernel, which pallas_call rejects
@@ -146,6 +148,100 @@ def _knn_kernel_vpu(q_ref, kt_ref, idx_ref, s_ref, *, k_out: int, bins: int):
         state_i = jnp.where(better, lane + c * bins, state_i)
 
     _extract_topk(state_s, state_i, idx_ref, s_ref, k_out)
+
+
+def _interp_kernel_vpu(q_ref, kt_ref, pt_ref, out_ref, *, k_out: int,
+                       bins: int, valid_thresh: float, unroll: int):
+    """One (cloud, query-tile) step — fused kNN + inverse-d2 interpolation.
+
+    Extends the VPU difference-score kernel with per-bin *payload planes*:
+    alongside each bin's running (score) minimum, the payload row (e.g. the
+    class logits) of the key currently holding that minimum rides along in
+    VMEM. After the streaming pass, the K best bins are selected by an
+    iterative min-extraction into a lane mask, and the pyg weighting
+    w = 1/max(d2, 1e-16), y = sum(w*p)/sum(w) reduces over the bin axis —
+    the (B, Nt, K, C) HBM logits gather of the two-op path (kNN kernel +
+    XLA row gather) never exists. Rationale: the XLA row gather runs at a
+    locality/dtype-insensitive ~12 ns/row floor (docs/perf_notes.md), which
+    at the (B=16, 65k, k=10) production interp shape is ~170 ms — more
+    than the whole kNN kernel.
+
+    q_ref: (1, TQ, 4) un-transposed queries (w column = 0);
+    kt_ref: (1, 4, Nk_pad) transposed keys;
+    pt_ref: (1, C_pad, Nk_pad) transposed payload table;
+    out_ref: (1, TQ, C_pad) interpolated payload.
+
+    No index state is kept: selection ties break by bin (lane) order rather
+    than by key order as in ``_extract_topk``; tied keys carry equal scores
+    hence equal weights, so outputs only differ if a tie straddles the K-th
+    rank with differing payloads — measure-zero for float coordinates.
+    """
+    q = q_ref[0]                                            # (TQ, 4)
+    tq = q.shape[0]
+    c_pad = pt_ref.shape[1]
+    n_chunks = kt_ref.shape[2] // bins
+    q0 = q[:, 0:1]
+    q1 = q[:, 1:2]
+    q2 = q[:, 2:3]                                          # (TQ, 1) each
+
+    # Group-unrolled streaming: with the payload planes in flight, a fully
+    # static unroll made Mosaic's scoped VMEM stack scale with n_chunks
+    # (46.9 MB at Nk=40k — compile-time OOM), while a plain fori_loop cost
+    # ~2.3x in runtime (no cross-chunk software pipelining). The hybrid
+    # rolls a fori_loop over groups of ``unroll`` chunks with a static
+    # unroll inside: stack is bounded by one group's temporaries, perf
+    # stays near the unrolled kernel. n_chunks % unroll == 0 is guaranteed
+    # by the caller padding Nk to bins * unroll.
+    n_groups = n_chunks // unroll
+
+    def chunk_step(c, state_s, state_p):
+        kc = kt_ref[0, :, pl.ds(c * bins, bins)]            # (4, bins)
+        kw = kc[3:4, :]
+        s = jnp.broadcast_to(kw * kw, (tq, bins))           # pad term w^2
+        d0 = q0 - kc[0:1, :]
+        s = s + d0 * d0
+        d1 = q1 - kc[1:2, :]
+        s = s + d1 * d1
+        d2 = q2 - kc[2:3, :]
+        s = s + d2 * d2
+        better = s < state_s
+        state_s = jnp.where(better, s, state_s)
+        pc = pt_ref[0, :, pl.ds(c * bins, bins)]            # (C_pad, bins)
+        state_p = jnp.where(better[None], pc[:, None, :], state_p)
+        return state_s, state_p
+
+    def body(g, carry):
+        state_s, state_p = carry                            # (TQ,bins), (C_pad,TQ,bins)
+        for u in range(unroll):                             # static unroll
+            state_s, state_p = chunk_step(g * unroll + u, state_s, state_p)
+        return state_s, state_p
+
+    state_s, state_p = jax.lax.fori_loop(
+        0, n_groups,
+        body,
+        (jnp.full((tq, bins), _INF, jnp.float32),
+         jnp.zeros((c_pad, tq, bins), jnp.float32)),
+    )
+
+    # Select the k_out best bins into a mask (one per pass, ties by lane).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, bins), 1)
+    work = state_s
+    selected = jnp.zeros((tq, bins), jnp.bool_)
+    for _ in range(k_out):                                  # static unroll
+        m = jnp.min(work, axis=1, keepdims=True)            # (TQ, 1)
+        sel = work == m
+        am = jnp.min(jnp.where(sel, lane, jnp.int32(_BIG_I)),
+                     axis=1, keepdims=True)
+        win = sel & (lane == am)
+        selected = selected | (win & (m < valid_thresh))
+        work = jnp.where(win, _INF, work)
+
+    w = jnp.where(selected, 1.0 / jnp.maximum(state_s, 1e-16), 0.0)
+    den = jnp.sum(w, axis=1, keepdims=True)                 # (TQ, 1)
+    inv_den = 1.0 / jnp.maximum(den, 1e-16)
+    for ch in range(c_pad):
+        num = jnp.sum(w * state_p[ch], axis=1, keepdims=True)
+        out_ref[0, :, ch:ch + 1] = num * inv_den
 
 
 def _pad_axis(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
@@ -295,6 +391,131 @@ def _topk_impl(
         qn = jnp.sum(q4 * q4, axis=-1, keepdims=True)       # (B, Nq, 1)
         d2 = jnp.maximum(score[:, :nq, :k] + qn, 0.0)
     return idx[:, :nq, :k], d2
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile_q", "bins", "interpret")
+)
+def knn_interpolate_pallas(
+    x: jnp.ndarray,            # (B, Nk, C) payload at key points
+    key_pos: jnp.ndarray,      # (B, Nk, 3)
+    key_mask: jnp.ndarray,     # (B, Nk) bool
+    query_pos: jnp.ndarray,    # (B, Nq, 3)
+    k: int,
+    tile_q: int = TILE_Q,
+    bins: int = BINS,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused binned-kNN + inverse-squared-distance interpolation.
+
+    Returns (B, Nq, C) float32 — pyg ``knn_interpolate`` semantics
+    (w = 1/max(d2, 1e-16), y = Σ w·x / Σ w) over the same binned
+    approximate neighborhoods as ``knn_topk_pallas``; queries whose every
+    neighbor slot fell on a pad key return 0. Selection ties across equal
+    distances break by bin rather than key order (see kernel docstring).
+
+    Predict-path only: no AD rule is defined (the payload enters linearly,
+    so a zero-tangent declaration would be *wrong*, unlike the index
+    kernels) — differentiating through this op fails loudly.
+    """
+    from myria3d_tpu.ops.knn import (  # late: knn imports this module
+        _VALID_THRESH,
+        _augment_keys,
+        _augment_queries,
+    )
+
+    b, nq, _ = query_pos.shape
+    nk = key_pos.shape[1]
+    c = x.shape[-1]
+    # Same per-cloud centering as ops.knn: georeferenced magnitudes would
+    # otherwise cancel catastrophically in the f32 difference terms.
+    cnt = jnp.maximum(jnp.sum(key_mask, axis=1), 1)
+    offset = (
+        jnp.sum(jnp.where(key_mask[..., None], key_pos, 0.0), axis=1)
+        / cnt[..., None].astype(key_pos.dtype)
+    )[:, None, :]
+    q4 = _augment_queries(query_pos - offset)
+    k4 = _augment_keys(key_pos - offset, key_mask)
+
+    # Full static unroll when the whole key stream fits one group's stack
+    # (24 chunks compiled at ~14 MB scoped VMEM; beyond that Mosaic OOMs),
+    # else groups of _UNROLL chunks under a fori_loop.
+    n_chunks0 = -(-nk // bins)
+    unroll = n_chunks0 if n_chunks0 <= _FULL_UNROLL_MAX else _UNROLL
+
+    q4p = _pad_axis(q4, 1, tile_q)
+    k4p = _pad_axis(k4, 1, bins * unroll)
+    if k4p.shape[1] > nk:
+        pad_rows = k4p.shape[1] - nk
+        w_fix = jnp.concatenate(
+            [jnp.zeros((b, nk, 1), k4.dtype),
+             jnp.full((b, pad_rows, 1), 1e4, k4.dtype)], axis=1,
+        )
+        k4p = k4p.at[:, :, 3:4].max(w_fix)
+    nq_pad = q4p.shape[1]
+    nk_pad = k4p.shape[1]
+
+    c_pad = -(-c // 8) * 8          # payload planes ride f32 sublanes
+    xp = _pad_axis(
+        _pad_axis(x.astype(jnp.float32), 1, bins * unroll), 2, c_pad
+    )
+    pt = jnp.swapaxes(xp, 1, 2)                             # (B, C_pad, Nk_pad)
+    kt = jnp.swapaxes(k4p, 1, 2)                            # (B, 4, Nk_pad)
+
+    kernel = functools.partial(
+        _interp_kernel_vpu, k_out=min(k, nk), bins=bins,
+        valid_thresh=_VALID_THRESH, unroll=unroll,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nq_pad // tile_q),
+        in_specs=[
+            pl.BlockSpec(
+                (1, tile_q, 4), lambda b, i: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 4, nk_pad), lambda b, i: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, c_pad, nk_pad), lambda b, i: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_q, c_pad), lambda b, i: (b, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nq_pad, c_pad), jnp.float32),
+        interpret=interpret,
+    )(q4p, kt, pt)
+    return out[:, :nq, :c]
+
+
+def interp_pallas_available(k: int, nk: int, c: int,
+                            tile_q: int = TILE_Q, bins: int = BINS) -> bool:
+    """Gate for the fused kNN+interpolate kernel: the index-kernel rules,
+    a VMEM budget check for the payload planes (per-bin payload state
+    (C_pad, tile_q, bins) + the resident key/payload tables must fit
+    comfortably under the ~16 MB/core VMEM), and the measured win region.
+
+    The fused kernel trades the two-op path's (B, Nq, K, C) HBM row gather
+    (~12 ns/row) for per-chunk payload-plane selects whose cost scales with
+    Nk/bins. Measured on v5e (B=16, K=10, C=7): 32k<-12k (24 chunks)
+    144 ms fused vs 170 ms two-op; 65k<-40k (80 chunks) 550 ms fused vs
+    349 ms two-op — so the fused path is gated to key sets small enough to
+    stream in one fully unrolled group."""
+    if not knn_pallas_available(k, nk):
+        return False
+    n_chunks = -(-nk // bins)
+    if n_chunks > _FULL_UNROLL_MAX:
+        return False
+    c_pad = -(-c // 8) * 8
+    nk_pad = n_chunks * bins
+    state = (c_pad + 2) * tile_q * bins * 4          # payload + score + work
+    tables = (c_pad + 4) * nk_pad * 4                # payload + coords
+    return state + tables < 12 * 1024 * 1024
 
 
 def knn_pallas_available(k: int, nk: int) -> bool:
