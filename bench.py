@@ -29,7 +29,10 @@ def main() -> None:
     from __graft_entry__ import _flagship_model
     from myria3d_tpu.pctl.transforms.transforms import CopyFullPos, GridSampling
 
-    B = 16         # subtiles per batch
+    B = 48         # subtiles per batch (measured sweep: 16/32/48 ->
+                   # 2.71/2.78/2.87 Mpts/s — larger batches amortize the
+                   # fixed per-dispatch cost; production predict batches
+                   # are a config knob, datamodule.batch_size)
     N = 12_288     # padded sampled points per subtile
     M = 32_768     # padded full-cloud points per subtile
     TRUE_FULL = 30_000  # raw points per subtile (~10 pulses/m² x 50 m²)

@@ -51,8 +51,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_Q = 256     # query rows per grid step (sublane axis of the score tile)
 BINS = 512       # running minima per query (lane axis; key chunk width)
-_UNROLL = 8      # chunks per fori_loop group in the fused interp kernel
-_FULL_UNROLL_MAX = 24   # full static unroll up to this many key chunks
 
 # plain python scalars: jnp constants at module scope would be captured
 # as consts by the traced kernel, which pallas_call rejects
@@ -151,51 +149,53 @@ def _knn_kernel_vpu(q_ref, kt_ref, idx_ref, s_ref, *, k_out: int, bins: int):
 
 
 def _interp_kernel_vpu(q_ref, kt_ref, pt_ref, out_ref, *, k_out: int,
-                       bins: int, valid_thresh: float, unroll: int):
+                       bins: int, valid_thresh: float):
     """One (cloud, query-tile) step — fused kNN + inverse-d2 interpolation.
 
-    Extends the VPU difference-score kernel with per-bin *payload planes*:
-    alongside each bin's running (score) minimum, the payload row (e.g. the
-    class logits) of the key currently holding that minimum rides along in
-    VMEM. After the streaming pass, the K best bins are selected by an
-    iterative min-extraction into a lane mask, and the pyg weighting
-    w = 1/max(d2, 1e-16), y = sum(w*p)/sum(w) reduces over the bin axis —
-    the (B, Nt, K, C) HBM logits gather of the two-op path (kNN kernel +
-    XLA row gather) never exists. Rationale: the XLA row gather runs at a
-    locality/dtype-insensitive ~12 ns/row floor (docs/perf_notes.md), which
-    at the (B=16, 65k, k=10) production interp shape is ~170 ms — more
-    than the whole kNN kernel.
+    Three phases, all VMEM-resident:
+    1. The VPU difference-score streaming pass of ``_knn_kernel_vpu``
+       (per-bin running (score, key-index) minima — 2 small state planes).
+    2. ``k_out`` min-extraction passes select the winning bins into a lane
+       mask (ties by key index, like ``_extract_topk``) and build the
+       normalized pyg weights w = 1/max(d2, 1e-16), W = w/Σw.
+    3. A second walk over the key chunks recombines the payload on the
+       MXU: bin l's winner is the key at lane l of chunk state_i[t,l]//bins
+       — so per chunk c the sparse weight tile W_c = W·[winner ∈ chunk c]
+       and ``out += W_c @ P_c`` accumulates the interpolation as a
+       (TQ, bins) x (bins, C_pad) matmul (contraction dim ``bins`` — full
+       systolic utilization, unlike the distance cross-term).
+
+    Earlier design (payload planes riding beside the minima, reduced on the
+    VPU) cost C_pad·TQ·Nk VPU selects in the streaming phase and made the
+    Mosaic scoped-VMEM stack scale with n_chunks (compile OOM past 24
+    chunks, forcing the 40k-key production shape onto the slower two-op
+    path). The matmul recombine moves that work to the MXU at bf16 and
+    keeps phase 1's state at 2 planes, so the full static unroll works at
+    every production shape.
+
+    Precision: W and the payload table are bf16 (~2^-9 relative); the
+    accumulator is f32. The interp step already ships its logits as f16
+    over the wire, so the fused path's contract is "f16-wire-accurate",
+    not bit-exact vs the f32 two-op path (which remains available via
+    ``fused_payload=False``).
 
     q_ref: (1, TQ, 4) un-transposed queries (w column = 0);
     kt_ref: (1, 4, Nk_pad) transposed keys;
-    pt_ref: (1, C_pad, Nk_pad) transposed payload table;
-    out_ref: (1, TQ, C_pad) interpolated payload.
-
-    No index state is kept: selection ties break by bin (lane) order rather
-    than by key order as in ``_extract_topk``; tied keys carry equal scores
-    hence equal weights, so outputs only differ if a tie straddles the K-th
-    rank with differing payloads — measure-zero for float coordinates.
+    pt_ref: (1, C_pad, Nk_pad) transposed bf16 payload table;
+    out_ref: (1, TQ, C_pad) interpolated payload, f32.
     """
     q = q_ref[0]                                            # (TQ, 4)
     tq = q.shape[0]
-    c_pad = pt_ref.shape[1]
     n_chunks = kt_ref.shape[2] // bins
     q0 = q[:, 0:1]
     q1 = q[:, 1:2]
     q2 = q[:, 2:3]                                          # (TQ, 1) each
 
-    # Group-unrolled streaming: with the payload planes in flight, a fully
-    # static unroll made Mosaic's scoped VMEM stack scale with n_chunks
-    # (46.9 MB at Nk=40k — compile-time OOM), while a plain fori_loop cost
-    # ~2.3x in runtime (no cross-chunk software pipelining). The hybrid
-    # rolls a fori_loop over groups of ``unroll`` chunks with a static
-    # unroll inside: stack is bounded by one group's temporaries, perf
-    # stays near the unrolled kernel. n_chunks % unroll == 0 is guaranteed
-    # by the caller padding Nk to bins * unroll.
-    n_groups = n_chunks // unroll
-
-    def chunk_step(c, state_s, state_p):
-        kc = kt_ref[0, :, pl.ds(c * bins, bins)]            # (4, bins)
+    state_s = jnp.full((tq, bins), _INF, jnp.float32)
+    state_i = jnp.zeros((tq, bins), jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, bins), 1)
+    for c in range(n_chunks):                               # static unroll
+        kc = kt_ref[0, :, c * bins:(c + 1) * bins]          # (4, bins)
         kw = kc[3:4, :]
         s = jnp.broadcast_to(kw * kw, (tq, bins))           # pad term w^2
         d0 = q0 - kc[0:1, :]
@@ -206,42 +206,36 @@ def _interp_kernel_vpu(q_ref, kt_ref, pt_ref, out_ref, *, k_out: int,
         s = s + d2 * d2
         better = s < state_s
         state_s = jnp.where(better, s, state_s)
-        pc = pt_ref[0, :, pl.ds(c * bins, bins)]            # (C_pad, bins)
-        state_p = jnp.where(better[None], pc[:, None, :], state_p)
-        return state_s, state_p
+        state_i = jnp.where(better, lane + c * bins, state_i)
 
-    def body(g, carry):
-        state_s, state_p = carry                            # (TQ,bins), (C_pad,TQ,bins)
-        for u in range(unroll):                             # static unroll
-            state_s, state_p = chunk_step(g * unroll + u, state_s, state_p)
-        return state_s, state_p
-
-    state_s, state_p = jax.lax.fori_loop(
-        0, n_groups,
-        body,
-        (jnp.full((tq, bins), _INF, jnp.float32),
-         jnp.zeros((c_pad, tq, bins), jnp.float32)),
-    )
-
-    # Select the k_out best bins into a mask (one per pass, ties by lane).
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, bins), 1)
+    # Select the k_out best bins into a mask (one per pass, ties by key
+    # index — identical semantics to the index kernel's _extract_topk).
     work = state_s
     selected = jnp.zeros((tq, bins), jnp.bool_)
     for _ in range(k_out):                                  # static unroll
         m = jnp.min(work, axis=1, keepdims=True)            # (TQ, 1)
         sel = work == m
-        am = jnp.min(jnp.where(sel, lane, jnp.int32(_BIG_I)),
+        am = jnp.min(jnp.where(sel, state_i, jnp.int32(_BIG_I)),
                      axis=1, keepdims=True)
-        win = sel & (lane == am)
+        win = sel & (state_i == am)
         selected = selected | (win & (m < valid_thresh))
         work = jnp.where(win, _INF, work)
 
     w = jnp.where(selected, 1.0 / jnp.maximum(state_s, 1e-16), 0.0)
     den = jnp.sum(w, axis=1, keepdims=True)                 # (TQ, 1)
-    inv_den = 1.0 / jnp.maximum(den, 1e-16)
-    for ch in range(c_pad):
-        num = jnp.sum(w * state_p[ch], axis=1, keepdims=True)
-        out_ref[0, :, ch:ch + 1] = num * inv_den
+    w_norm = w / jnp.maximum(den, 1e-16)                    # rows sum to <=1
+
+    chunk_of = state_i // bins                              # (TQ, bins)
+    acc = jnp.zeros((tq, pt_ref.shape[1]), jnp.float32)
+    for c in range(n_chunks):                               # static unroll
+        wc = jnp.where(chunk_of == c, w_norm, 0.0).astype(jnp.bfloat16)
+        pc = pt_ref[0, :, c * bins:(c + 1) * bins]          # (C_pad, bins)
+        acc = acc + jax.lax.dot_general(
+            wc, pc,
+            dimension_numbers=(((1,), (1,)), ((), ())),     # (TQ, C_pad)
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[0] = acc
 
 
 def _pad_axis(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
@@ -411,8 +405,9 @@ def knn_interpolate_pallas(
     Returns (B, Nq, C) float32 — pyg ``knn_interpolate`` semantics
     (w = 1/max(d2, 1e-16), y = Σ w·x / Σ w) over the same binned
     approximate neighborhoods as ``knn_topk_pallas``; queries whose every
-    neighbor slot fell on a pad key return 0. Selection ties across equal
-    distances break by bin rather than key order (see kernel docstring).
+    neighbor slot fell on a pad key return 0. The payload recombine runs
+    on the MXU at bf16 (~2^-9 relative error — within the interp step's
+    f16 wire contract; see the kernel docstring).
 
     Predict-path only: no AD rule is defined (the payload enters linearly,
     so a zero-tangent declaration would be *wrong*, unlike the index
@@ -437,14 +432,8 @@ def knn_interpolate_pallas(
     q4 = _augment_queries(query_pos - offset)
     k4 = _augment_keys(key_pos - offset, key_mask)
 
-    # Full static unroll when the whole key stream fits one group's stack
-    # (24 chunks compiled at ~14 MB scoped VMEM; beyond that Mosaic OOMs),
-    # else groups of _UNROLL chunks under a fori_loop.
-    n_chunks0 = -(-nk // bins)
-    unroll = n_chunks0 if n_chunks0 <= _FULL_UNROLL_MAX else _UNROLL
-
     q4p = _pad_axis(q4, 1, tile_q)
-    k4p = _pad_axis(k4, 1, bins * unroll)
+    k4p = _pad_axis(k4, 1, bins)
     if k4p.shape[1] > nk:
         pad_rows = k4p.shape[1] - nk
         w_fix = jnp.concatenate(
@@ -455,16 +444,14 @@ def knn_interpolate_pallas(
     nq_pad = q4p.shape[1]
     nk_pad = k4p.shape[1]
 
-    c_pad = -(-c // 8) * 8          # payload planes ride f32 sublanes
-    xp = _pad_axis(
-        _pad_axis(x.astype(jnp.float32), 1, bins * unroll), 2, c_pad
-    )
+    c_pad = -(-c // 16) * 16        # payload rides bf16 sublanes (16, 128)
+    xp = _pad_axis(_pad_axis(x.astype(jnp.bfloat16), 1, bins), 2, c_pad)
     pt = jnp.swapaxes(xp, 1, 2)                             # (B, C_pad, Nk_pad)
     kt = jnp.swapaxes(k4p, 1, 2)                            # (B, 4, Nk_pad)
 
     kernel = functools.partial(
         _interp_kernel_vpu, k_out=min(k, nk), bins=bins,
-        valid_thresh=_VALID_THRESH, unroll=unroll,
+        valid_thresh=_VALID_THRESH,
     )
     out = pl.pallas_call(
         kernel,
@@ -495,26 +482,17 @@ def knn_interpolate_pallas(
 
 def interp_pallas_available(k: int, nk: int, c: int,
                             tile_q: int = TILE_Q, bins: int = BINS) -> bool:
-    """Gate for the fused kNN+interpolate kernel: the index-kernel rules,
-    a VMEM budget check for the payload planes (per-bin payload state
-    (C_pad, tile_q, bins) + the resident key/payload tables must fit
-    comfortably under the ~16 MB/core VMEM), and the measured win region.
-
-    The fused kernel trades the two-op path's (B, Nq, K, C) HBM row gather
-    (~12 ns/row) for per-chunk payload-plane selects whose cost scales with
-    Nk/bins. Measured on v5e (B=16, K=10, C=7): 32k<-12k (24 chunks)
-    144 ms fused vs 170 ms two-op; 65k<-40k (80 chunks) 550 ms fused vs
-    349 ms two-op — so the fused path is gated to key sets small enough to
-    stream in one fully unrolled group."""
+    """Gate for the fused kNN+interpolate kernel: the index-kernel rules
+    plus a VMEM budget check for the resident key + bf16 payload tables
+    (the per-bin state is 2 planes regardless of C since the matmul
+    recombine — the old payload-plane design's n_chunks compile ceiling is
+    gone, so every production bucket takes the fused path)."""
     if not knn_pallas_available(k, nk):
         return False
-    n_chunks = -(-nk // bins)
-    if n_chunks > _FULL_UNROLL_MAX:
-        return False
-    c_pad = -(-c // 8) * 8
-    nk_pad = n_chunks * bins
-    state = (c_pad + 2) * tile_q * bins * 4          # payload + score + work
-    tables = (c_pad + 4) * nk_pad * 4                # payload + coords
+    c_pad = -(-c // 16) * 16
+    nk_pad = -(-nk // bins) * bins
+    state = 4 * tile_q * bins * 4                    # score+index+work+w
+    tables = 4 * nk_pad * 4 + c_pad * nk_pad * 2     # coords f32 + payload bf16
     return state + tables < 12 * 1024 * 1024
 
 

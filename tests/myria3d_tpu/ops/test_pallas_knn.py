@@ -126,13 +126,15 @@ def _np_interp(x, kpos, kvalid, qpos, k):
 
 
 def test_fused_interp_exact_when_bins_cover_keys():
-    """bins >= padded Nk makes selection exact -> the fused kernel must
-    reproduce the brute-force pyg weighting bit-for-bit (modulo fp sum
-    order), including a cloud with pad keys and C not a sublane multiple."""
+    """bins >= padded Nk makes *selection* exact -> the fused kernel must
+    reproduce the brute-force pyg weighting up to the bf16 recombine
+    precision (the MXU matmul phase carries weights/payload at bf16,
+    ~2^-8 relative — within the interp step's f16 wire contract),
+    including a cloud with pad keys and C not a sublane multiple."""
     from myria3d_tpu.ops.pallas_knn import knn_interpolate_pallas
 
     rng = np.random.default_rng(11)
-    B, Nq, Nk, K, C = 2, 24, 200, 10, 7   # Nk pads to 256, C pads to 8
+    B, Nq, Nk, K, C = 2, 24, 200, 10, 7   # Nk pads to 256, C pads to 16
     q = rng.uniform(-1, 1, (B, Nq, 3)).astype(np.float32)
     kp = rng.uniform(-1, 1, (B, Nk, 3)).astype(np.float32)
     x = rng.normal(size=(B, Nk, C)).astype(np.float32)
@@ -145,7 +147,7 @@ def test_fused_interp_exact_when_bins_cover_keys():
     assert out.shape == (B, Nq, C)
     for b in range(B):
         ref = _np_interp(x[b], kp[b], valid[b], q[b], K)
-        np.testing.assert_allclose(out[b], ref, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(out[b], ref, rtol=2e-2, atol=1e-2)
 
 
 def test_fused_interp_matches_index_kernel_when_binned():
@@ -170,7 +172,7 @@ def test_fused_interp_matches_index_kernel_when_binned():
         w[d2[b] >= 0.25e8] = 0.0
         den = np.maximum(w.sum(1, keepdims=True), 1e-16)
         ref = (w[..., None] * x[b][idx[b]]).sum(1) / den
-        np.testing.assert_allclose(out[b], ref, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(out[b], ref, rtol=2e-2, atol=1e-2)
 
 
 def test_fused_interp_empty_keys_returns_zero():
