@@ -171,6 +171,14 @@ class RandLANet(nn.Module):
     return_logits: bool = True
     bn_momentum: float = 0.01
     dtype: jnp.dtype = jnp.float32
+    # Rematerialize each residual block in the backward pass (jax.checkpoint
+    # via nn.remat): the saved (B, C, K, N) edge tensors dominate training
+    # HBM, and past ~B=16 at the 12k bucket their residency drives the
+    # backward off a cliff (measured v5e: B=32 bwd 12x the B=8 bwd for 4x
+    # the work; with remat the backward recomputes the block forward
+    # instead). Opt-in: `model.neural_net_hparams.remat=true` — the
+    # production batch-10 config doesn't need it.
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -193,9 +201,15 @@ class RandLANet(nn.Module):
         # fp1 the pre-decimation ``b1_out`` — FP Dense input widths
         # 512+256, 256+128, 128+32, 32+32.
         widths = (32, 128, 256, 512)
+        # arg 0 is the module itself in flax lifted transforms -> `train`
+        # (a python bool steering BN/dropout modes) is static arg 4
+        block_cls = (
+            nn.remat(DilatedResidualBlock, static_argnums=(4,))
+            if self.remat else DilatedResidualBlock
+        )
         skips = []  # (x, pos, mask): [b1_out@N, b1_dec@N/4, b2_dec@N/16, b3_dec@N/64]
         for i, d_out in enumerate(widths):
-            x = DilatedResidualBlock(
+            x = block_cls(
                 self.num_neighbors, d_out, bn_momentum=self.bn_momentum,
                 dtype=self.dtype, name=f"block{i + 1}",
             )(x, pos, mask, train)

@@ -51,9 +51,17 @@ def predict(config) -> Optional[str]:
         config["predict"].get("use_graph_interpolation", False)
     ) and model.supports_graph_interpolation() and par is None
 
+    from collections import deque
+
     from myria3d_tpu.pctl.loader import BackgroundIterator
 
-    # overlap host-side subtile prep/collate with device inference
+    # Two overlaps: BackgroundIterator runs host-side subtile prep/collate
+    # ahead of the loop, and a depth-2 pending queue defers each batch's
+    # logits fetch until the NEXT batch's step has been dispatched — jax
+    # dispatch is async, so batch i's device compute + D2H run while the
+    # host uploads and dispatches batch i+1 (the reference streams batches
+    # through Lightning's predict loop, which fetches synchronously).
+    pending = deque()
     for batch in BackgroundIterator(datamodule.predict_dataloader(), max_prefetch=2):
         if batch is None:
             continue
@@ -83,7 +91,11 @@ def predict(config) -> Optional[str]:
                 arrays["sampled_pos"], arrays["full_pos"],
                 arrays["full_mask"], rng,
             )
-        itp.store_predictions(full_logits, batch.idx_in_original_cloud)
+        pending.append((full_logits, batch.idx_in_original_cloud))
+        if len(pending) > 1:
+            itp.store_predictions(*pending.popleft())
+    while pending:
+        itp.store_predictions(*pending.popleft())
 
     out_path = itp.reduce_predictions_and_save(
         src_las, output_dir, config["datamodule"].get("epsg")

@@ -153,6 +153,42 @@ def test_gradients_flow():
     assert nonzero > len(leaves) * 0.9
 
 
+def test_remat_grads_match_baseline():
+    """`remat=True` (jax.checkpoint over each residual block, for large-
+    batch training HBM) must be a pure memory/compute trade: identical
+    param tree and the same gradients as the un-rematted net."""
+    net = _make_net()
+    net_r = _make_net(remat=True)
+    x, pos, mask = _rand_batch(b=2, n=256)
+    vs = _init(net, x, pos, mask)
+    vs_r = _init(net_r, x, pos, mask)
+    assert jax.tree_util.tree_structure(vs["params"]) == \
+        jax.tree_util.tree_structure(vs_r["params"])
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def grad_fn(n, p, bs):
+        def loss_fn(p):
+            logits, _ = n.apply(
+                {"params": p, "batch_stats": bs},
+                x, pos, mask, train=True,
+                rngs={"decimation": jax.random.PRNGKey(2),
+                      "dropout": jax.random.PRNGKey(3)},
+                mutable=["batch_stats"],
+            )
+            return jnp.mean(jnp.where(mask[..., None], logits**2, 0.0))
+
+        return jax.grad(loss_fn)(p)
+
+    g = grad_fn(net, vs["params"], vs["batch_stats"])
+    g_r = grad_fn(net_r, vs["params"], vs["batch_stats"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        g, g_r,
+    )
+
+
 def test_param_count_plausible():
     """Reference model is ~1-5M params (SURVEY.md §2.3)."""
     net = _make_net()
