@@ -160,8 +160,10 @@ def _parse_defaults_entry(entry: Any) -> Tuple[bool, bool, str, Optional[str]]:
         is_override = key.startswith("override")
         if is_override:
             key = key[len("override"):].strip()
-        # Ignore hydra-internal groups entirely.
-        if key.split("/")[0].lstrip("/") in ("hydra", "hydra/hydra_logging", "hydra/job_logging"):
+        # Ignore hydra-INTERNAL groups (logging plugins); the plain `hydra`
+        # group itself IS composed — it carries run.dir, which run.py uses
+        # to reproduce hydra's per-run working directory.
+        if key.lstrip("/").startswith("hydra/"):
             return False, True, "__ignore__", None
         return False, is_override, key, None if choice is None else str(choice)
     raise ConfigError(f"Cannot parse defaults entry: {entry!r}")
@@ -369,7 +371,9 @@ def _resolve_expr(expr: str, root: dict, stack: Tuple[str, ...]) -> Any:
     if expr.startswith("hydra:"):
         what = expr[len("hydra:"):].strip()
         if what == "runtime.cwd":
-            return os.getcwd()
+            # the ORIGINAL invocation cwd even after run.py chdirs into
+            # hydra.run.dir (hydra semantics; run.py freezes it at startup)
+            return _runtime_info.get("runtime_cwd", os.getcwd())
         if what == "run.dir":
             return _runtime_info.get("run_dir", os.getcwd())
         return ""

@@ -134,6 +134,32 @@ def launch_hdf5(config):
     )
 
 
+def _enter_run_dir(config) -> None:
+    """Reference parity: hydra changes the job's working directory to
+    ``hydra.run.dir`` (reference ``configs/hydra/default.yaml``; every task
+    runs under ``@hydra.main``, reference ``run.py:108-134``), so relative
+    artifacts (``checkpoints/``, ``config_tree.txt``, CSV logs) land in a
+    per-run timestamped directory. Frozen production predict configs carry
+    no ``hydra`` node and keep the invoking cwd; ``hydra.job.chdir=false``
+    opts out like hydra."""
+    from myria3d_tpu.utils.config import set_runtime_info
+
+    # freeze the pre-chdir cwd for ${hydra:runtime.cwd} (hydra semantics)
+    set_runtime_info(runtime_cwd=os.getcwd())
+    hydra_cfg = config.get("hydra")
+    if not hydra_cfg:
+        return
+    job = hydra_cfg.get("job") or {}
+    if str(job.get("chdir", True)).lower() in ("false", "0"):
+        return
+    run_dir = (hydra_cfg.get("run") or {}).get("dir")
+    if not run_dir:
+        return
+    os.makedirs(run_dir, exist_ok=True)
+    set_runtime_info(run_dir=os.path.abspath(run_dir))
+    os.chdir(run_dir)
+
+
 def main(argv: List[str]):
     if "--help" in argv or "-h" in argv:
         print(__doc__)
@@ -158,6 +184,7 @@ def main(argv: List[str]):
         if not any(o.startswith("experiment=") for o in overrides):
             overrides = ["experiment=predict"] + overrides
     config = _compose(config_dir, config_name, overrides)
+    _enter_run_dir(config)
 
     if task_name in (TASK_NAMES.FIT, TASK_NAMES.TEST, TASK_NAMES.FINETUNE):
         return launch_train(config)

@@ -127,3 +127,40 @@ def test_experiment_layered_on_experiment_inherits_overrides():
          "datamodule/transforms/augmentations=none"],
     )
     assert not select(cfg2, "datamodule.transforms.augmentations")
+
+
+def test_hydra_run_dir_parity(tmp_path, monkeypatch):
+    """The hydra config group resolves a timestamped run dir under LOGS_DIR
+    and run.py's _enter_run_dir chdirs into it while ${hydra:runtime.cwd}
+    keeps the invocation cwd (reference configs/hydra/default.yaml +
+    @hydra.main working-directory semantics)."""
+    import re
+
+    import run as run_mod
+    from myria3d_tpu.utils.config import _runtime_info
+
+    monkeypatch.setenv("LOGS_DIR", str(tmp_path / "logs"))
+    cfg = compose(CONFIG_DIR, "config.yaml", [])
+    run_dir = cfg["hydra"]["run"]["dir"]
+    assert re.search(r"logs/runs/\d{4}-\d{2}-\d{2}/\d{2}-\d{2}-\d{2}$",
+                     run_dir.replace("\\", "/"))
+    assert cfg["work_dir"] == os.getcwd()
+
+    orig = os.getcwd()
+    try:
+        run_mod._enter_run_dir(cfg)
+        assert os.getcwd() == os.path.abspath(run_dir)
+        assert _runtime_info["runtime_cwd"] == orig
+        assert _runtime_info["run_dir"] == os.path.abspath(run_dir)
+    finally:
+        os.chdir(orig)
+        _runtime_info.pop("run_dir", None)
+
+    # frozen configs without a hydra node keep the cwd
+    run_mod._enter_run_dir({"predict": {}})
+    assert os.getcwd() == orig
+
+    # hydra.job.chdir=false opts out, like hydra
+    cfg2 = compose(CONFIG_DIR, "config.yaml", ["hydra.job.chdir=false"])
+    run_mod._enter_run_dir(cfg2)
+    assert os.getcwd() == orig
