@@ -261,7 +261,12 @@ class Model:
             "RandLANet" in type(self.net).__name__
         )
 
-    def build_interp_step(self) -> Callable:
+    def build_interp_step(self, fused: bool = True) -> Callable:
+        """``fused=False`` keeps the f32 two-op interpolation (exact pyg
+        weighting on the selected neighbors) instead of the bf16 MXU-
+        recombine kernel — for exactness-sensitive runs such as
+        checkpoint-parity evaluation (``predict.exact_interpolation``)."""
+
         def step(state: TrainState, x, pos, mask, sampled_pos, full_pos,
                  full_mask, rng):
             logits = self._apply(
@@ -270,7 +275,7 @@ class Model:
             )
             full = knn_interpolate(
                 logits, sampled_pos, mask, full_pos, full_mask,
-                k=self.interpolation_k, fused_payload=True,
+                k=self.interpolation_k, fused_payload=fused,
             )
             # f16 on the wire: the (B, M, C) full-cloud logits are the
             # predict loop's device->host payload; halving it matters on
@@ -313,6 +318,16 @@ class Model:
         if "interp_step" not in self._jitted:
             self._jitted["interp_step"] = jax.jit(self.build_interp_step())
         return self._jitted["interp_step"]
+
+    @property
+    def exact_interp_step(self) -> Callable:
+        """Two-op f32 interpolation variant of ``interp_step``
+        (``predict.exact_interpolation=true``)."""
+        if "interp_step_exact" not in self._jitted:
+            self._jitted["interp_step_exact"] = jax.jit(
+                self.build_interp_step(fused=False)
+            )
+        return self._jitted["interp_step_exact"]
 
     # ------------------------------------------------------------------
     # Checkpointing (orbax)

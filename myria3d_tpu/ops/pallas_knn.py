@@ -173,11 +173,15 @@ def _interp_kernel_vpu(q_ref, kt_ref, pt_ref, out_ref, *, k_out: int,
     keeps phase 1's state at 2 planes, so the full static unroll works at
     every production shape.
 
-    Precision: W and the payload table are bf16 (~2^-9 relative); the
-    accumulator is f32. The interp step already ships its logits as f16
-    over the wire, so the fused path's contract is "f16-wire-accurate",
-    not bit-exact vs the f32 two-op path (which remains available via
-    ``fused_payload=False``).
+    Precision: W and the payload table are bf16 (ulp 2^-8, ~4e-3
+    relative — COARSER than the f16 wire's 2^-11); the accumulator is
+    f32. Measured vs the f32 two-op path: median rel err 2.1e-3, p99
+    9e-2 at near-zero logits. A class argmax can flip only where the
+    top-2 merged logits sit within that error — the same order of
+    approximation as the binned selection's 0.98 recall. Exactness-
+    sensitive callers (e.g. checkpoint-parity evaluation) use the f32
+    two-op path via ``fused_payload=False`` /
+    ``predict.exact_interpolation=true``.
 
     q_ref: (1, TQ, 4) un-transposed queries (w column = 0);
     kt_ref: (1, 4, Nk_pad) transposed keys;
@@ -406,8 +410,9 @@ def knn_interpolate_pallas(
     (w = 1/max(d2, 1e-16), y = Σ w·x / Σ w) over the same binned
     approximate neighborhoods as ``knn_topk_pallas``; queries whose every
     neighbor slot fell on a pad key return 0. The payload recombine runs
-    on the MXU at bf16 (~2^-9 relative error — within the interp step's
-    f16 wire contract; see the kernel docstring).
+    on the MXU at bf16 (ulp 2^-8, ~4e-3 relative — coarser than the f16
+    wire; see the kernel docstring for the full precision contract and
+    the f32 escape hatch).
 
     Predict-path only: no AD rule is defined (the payload enters linearly,
     so a zero-tangent declaration would be *wrong*, unlike the index
@@ -480,18 +485,30 @@ def knn_interpolate_pallas(
     return out[:, :nq, :c]
 
 
+# Ceiling on statically-unrolled key chunks for the fused interp kernel:
+# phases 1 and 3 each unroll n_chunks iterations, and Mosaic compile
+# time/scoped VMEM grow with the unroll. Validated up to 80 chunks (the
+# 40k production bucket); 96 leaves headroom without approving unmeasured
+# compile regimes (the old payload-plane design OOMed the compiler this
+# way before its 24-chunk guard existed).
+_INTERP_MAX_CHUNKS = 96
+
+
 def interp_pallas_available(k: int, nk: int, c: int,
                             tile_q: int = TILE_Q, bins: int = BINS) -> bool:
-    """Gate for the fused kNN+interpolate kernel: the index-kernel rules
-    plus a VMEM budget check for the resident key + bf16 payload tables
-    (the per-bin state is 2 planes regardless of C since the matmul
-    recombine — the old payload-plane design's n_chunks compile ceiling is
-    gone, so every production bucket takes the fused path)."""
+    """Gate for the fused kNN+interpolate kernel: the index-kernel rules,
+    a statically-unrolled-chunk ceiling (``_INTERP_MAX_CHUNKS``), and a
+    VMEM budget over the persistent per-tile planes (score, index, lane,
+    work, selected, weights, chunk-of — ~7 (TQ, bins) f32-sized planes
+    live across the phases) plus the resident key + bf16 payload tables."""
     if not knn_pallas_available(k, nk):
         return False
+    n_chunks = -(-nk // bins)
+    if n_chunks > _INTERP_MAX_CHUNKS:
+        return False
     c_pad = -(-c // 16) * 16
-    nk_pad = -(-nk // bins) * bins
-    state = 4 * tile_q * bins * 4                    # score+index+work+w
+    nk_pad = n_chunks * bins
+    state = 7 * tile_q * bins * 4
     tables = 4 * nk_pad * 4 + c_pad * nk_pad * 2     # coords f32 + payload bf16
     return state + tables < 12 * 1024 * 1024
 

@@ -174,7 +174,7 @@ def sharded_eval_step(model, mesh: Mesh) -> Callable:
     )
 
 
-def sharded_interp_step(model, mesh: Mesh) -> Callable:
+def sharded_interp_step(model, mesh: Mesh, fused: bool = True) -> Callable:
     """Full-cloud inference step over the mesh via ``shard_map``.
 
     The step is perfectly batch-parallel (per-subtile logits, no cross-
@@ -190,7 +190,7 @@ def sharded_interp_step(model, mesh: Mesh) -> Callable:
     from myria3d_tpu.ops import pallas_nn1
 
     repl, data = _shardings(mesh)
-    step = model.build_interp_step()
+    step = model.build_interp_step(fused=fused)
     smapped = shard_map(
         step,
         mesh=mesh,
@@ -233,6 +233,18 @@ class ParallelSteps:
         )
         self.eval_step = sharded_eval_step(model, mesh)
         self.interp_step = sharded_interp_step(model, mesh)
+        self._model = model
+        self._exact_interp_step: Optional[Callable] = None
+
+    @property
+    def exact_interp_step(self) -> Callable:
+        """Two-op f32 interpolation variant (predict.exact_interpolation),
+        built lazily — most runs never trace it."""
+        if self._exact_interp_step is None:
+            self._exact_interp_step = sharded_interp_step(
+                self._model, self.mesh, fused=False
+            )
+        return self._exact_interp_step
 
     def place_state(self, state):
         return replicate_to_mesh(state, self.mesh)

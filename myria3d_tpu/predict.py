@@ -38,7 +38,13 @@ def predict(config) -> Optional[str]:
     from myria3d_tpu.parallel import auto_parallel
 
     par = auto_parallel(model, datamodule.batch_size)
-    interp_fn = par.interp_step if par is not None else model.interp_step
+    # exact_interpolation=true keeps the f32 two-op interpolation instead
+    # of the bf16 MXU-recombine kernel (checkpoint-parity evaluation)
+    exact = bool(config["predict"].get("exact_interpolation", False))
+    if par is not None:
+        interp_fn = par.exact_interp_step if exact else par.interp_step
+    else:
+        interp_fn = model.exact_interp_step if exact else model.interp_step
     if par is not None:
         state = par.place_state(state)
         log.info(f"Predicting data-parallel over {par.mesh.devices.size} devices")

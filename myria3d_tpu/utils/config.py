@@ -375,10 +375,27 @@ def _resolve_expr(expr: str, root: dict, stack: Tuple[str, ...]) -> Any:
             # hydra.run.dir (hydra semantics; run.py freezes it at startup)
             return _runtime_info.get("runtime_cwd", os.getcwd())
         if what == "run.dir":
+            # Prefer the composed hydra.run.dir (reference logger/csv.yaml
+            # targets ${hydra:run.dir}); absolute so consumers resolved
+            # before run.py chdirs into it still point at the same place.
+            node = select(root, "hydra.run.dir")
+            if node is not None:
+                return os.path.abspath(
+                    str(_resolve_value(node, root, stack + ("hydra.run.dir",)))
+                )
             return _runtime_info.get("run_dir", os.getcwd())
         return ""
     if expr.startswith("now:"):
-        return datetime.datetime.now().strftime(expr[len("now:"):])
+        # One timestamp per resolve pass: hydra.run.dir is interpolated
+        # both for its own node and via ${hydra:run.dir} consumers — a
+        # per-call datetime.now() could straddle a second boundary and
+        # yield two different run dirs in one composed config.
+        fmt = expr[len("now:"):]
+        if _NOW_CACHE is not None:
+            ts = _NOW_CACHE.setdefault("ts", datetime.datetime.now())
+        else:
+            ts = datetime.datetime.now()
+        return ts.strftime(fmt)
     if any(expr.startswith(p) for p in _LAZY_PREFIXES):
         return "${" + expr + "}"  # keep lazy
     # plain config path
@@ -416,8 +433,16 @@ def set_runtime_info(**kwargs: str) -> None:
     _runtime_info.update(kwargs)
 
 
+_NOW_CACHE: Optional[Dict[str, Any]] = None
+
+
 def resolve_interpolations(cfg: DotDict) -> DotDict:
-    return _resolve_value(cfg, cfg)  # type: ignore[return-value]
+    global _NOW_CACHE
+    _NOW_CACHE = {}
+    try:
+        return _resolve_value(cfg, cfg)  # type: ignore[return-value]
+    finally:
+        _NOW_CACHE = None
 
 
 # ---------------------------------------------------------------------------

@@ -73,7 +73,10 @@ def test_experiment_override_defaults_entry():
 def test_oc_env_resolver(monkeypatch):
     monkeypatch.setenv("LOGS_DIR", "/tmp/mylogs")
     cfg = compose(CONFIG_DIR, "config.yaml", [])
-    assert cfg.logger.csv.save_dir == "/tmp/mylogs"
+    # csv logs live in the per-run dir (reference logger/csv.yaml:
+    # ${hydra:run.dir}), which itself sits under LOGS_DIR
+    assert cfg.logger.csv.save_dir.startswith("/tmp/mylogs/runs/")
+    assert cfg.logger.csv.save_dir == cfg.hydra.run.dir
 
 
 def test_instantiate_partial_and_get_method():
@@ -155,6 +158,7 @@ def test_hydra_run_dir_parity(tmp_path, monkeypatch):
     finally:
         os.chdir(orig)
         _runtime_info.pop("run_dir", None)
+        _runtime_info.pop("runtime_cwd", None)
 
     # frozen configs without a hydra node keep the cwd
     run_mod._enter_run_dir({"predict": {}})
