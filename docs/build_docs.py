@@ -32,6 +32,18 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in __import__("sys").path:
     __import__("sys").path.insert(0, REPO_ROOT)
 
+# apidoc imports every module, and importing jax with an unreachable TPU
+# backend hangs in the client's retry loop — docs never need a device.
+# The env var alone is not enough once a sitecustomize has pinned a
+# backend plugin, hence the explicit config.update (same as conftest).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except Exception:  # pragma: no cover — docs build without jax installed
+    pass
+
 _PAGE = """<!DOCTYPE html>
 <html lang="en"><head><meta charset="utf-8">
 <title>{title} — myria3d_tpu</title>
