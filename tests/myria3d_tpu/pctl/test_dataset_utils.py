@@ -49,11 +49,13 @@ def test_split_cloud_into_samples(toy_las_path):
     assert 60_000 <= total <= 61_000
 
 
-@pytest.mark.parametrize("overlap", [0, 25])
+@pytest.mark.parametrize("overlap", [0, 25, 45])
 def test_binned_split_matches_per_center_scan(overlap):
     """The single-pass binning must reproduce the per-center Chebyshev scan
     bit-for-bit: same non-empty windows, same center order, same sorted
-    point indices per window."""
+    point indices per window. overlap=45 (stride 5 m, 11 windows per
+    axis per point) exceeds the native path's candidate buffer, so it
+    exercises the numpy fallback branch."""
     rng = np.random.default_rng(11)
     n = 20_000
     pts = np.zeros(n, dtype=[("X", "<f8"), ("Y", "<f8"), ("Z", "<f8")])
