@@ -168,6 +168,18 @@ def test_interp_step_on_mesh_matches_single_device():
     # same rng stream + batch-parallel step → identical logits
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
+    # the exact-interpolation variant (predict.exact_interpolation) must
+    # wire up on the mesh too; on CPU both take the f32 dense path, so the
+    # outputs agree exactly
+    from myria3d_tpu.parallel.mesh import ParallelSteps
+
+    par = ParallelSteps(model, mesh)
+    out_exact = np.asarray(par.exact_interp_step(
+        pstate, arrays["x"], arrays["pos"], arrays["mask"],
+        arrays["sampled_pos"], arrays["full_pos"], arrays["full_mask"], key,
+    ))
+    np.testing.assert_allclose(out_exact, ref, rtol=1e-4, atol=1e-5)
+
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs a multi-device mesh")
 def test_local_bn_step_matches_per_shard_reference():
