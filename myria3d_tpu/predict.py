@@ -67,7 +67,11 @@ def predict(config) -> Optional[str]:
     # dispatch is async, so batch i's device compute + D2H run while the
     # host uploads and dispatches batch i+1 (the reference streams batches
     # through Lightning's predict loop, which fetches synchronously).
+    import time
+
+    t_stream0 = time.perf_counter()
     pending = deque()
+    n_batches = 0
     for batch in BackgroundIterator(datamodule.predict_dataloader(), max_prefetch=2):
         if batch is None:
             continue
@@ -98,12 +102,21 @@ def predict(config) -> Optional[str]:
                 arrays["full_mask"], rng,
             )
         pending.append((full_logits, batch.idx_in_original_cloud))
+        n_batches += 1
         if len(pending) > 1:
             itp.store_predictions(*pending.popleft())
     while pending:
         itp.store_predictions(*pending.popleft())
+    t_stream = time.perf_counter() - t_stream0
 
+    t_reduce0 = time.perf_counter()
     out_path = itp.reduce_predictions_and_save(
         src_las, output_dir, config["datamodule"].get("epsg")
+    )
+    log.info(
+        f"predict phases: streaming {t_stream:.1f}s over {n_batches} "
+        f"batches ({t_stream / max(n_batches, 1):.2f}s/batch incl. host "
+        f"prep + H2D + device + D2H), merge+write "
+        f"{time.perf_counter() - t_reduce0:.1f}s"
     )
     return out_path
