@@ -89,6 +89,9 @@ class Trainer:
         self.global_step = 0
         self.state: Optional[TrainState] = None
         self.par = None  # ParallelSteps when >1 device (set in fit/test)
+        # predict.exact_interpolation also governs task=test (full-cloud
+        # mIoU is computed there — the checkpoint-parity metric)
+        self.exact_interpolation = False
 
     def _setup_parallel(self, model: Model, batch_size: int) -> None:
         from myria3d_tpu.parallel import auto_parallel
@@ -370,9 +373,15 @@ class Trainer:
         if self.par is not None:
             state = self.par.place_state(state)
         eval_fn = self.par.eval_step if self.par is not None else model.eval_step
-        interp_fn = (
-            self.par.interp_step if self.par is not None else model.interp_step
-        )
+        if self.exact_interpolation:
+            interp_fn = (
+                self.par.exact_interp_step if self.par is not None
+                else model.exact_interp_step
+            )
+        else:
+            interp_fn = (
+                self.par.interp_step if self.par is not None else model.interp_step
+            )
 
         losses: List[Any] = []
         for batch in _limited(datamodule.test_dataloader(), self.cfg.limit_test_batches):
@@ -524,6 +533,9 @@ def train(config) -> Trainer:
         callbacks=callbacks,
         logger=logger,
         seed=seed,
+    )
+    trainer.exact_interpolation = bool(
+        (config.get("predict") or {}).get("exact_interpolation", False)
     )
 
     if logger is not None:
