@@ -277,6 +277,168 @@ def test_full_forward_matches_torch_oracle(det_decimation):
     np.testing.assert_array_equal(got.argmax(-1), ref.argmax(-1))
 
 
+def test_train_mode_batch_stats_match_torch_oracle(det_decimation):
+    """One train-mode forward on a padded ragged batch: every BN layer's
+    updated running stats must match torch's (masked moments over valid
+    points / valid neighbor slots == torch moments over the concatenated
+    ragged rows). All BN layers sit before the head's 0.5 dropout, so the
+    stats comparison is dropout-independent."""
+    num_features, num_classes, n_pad = 9, 7, 1280
+    sizes = [1280, 1088]
+    oracle = _randomized_oracle(num_features, num_classes, seed=11)
+    net, variables = _flax_from_oracle(oracle, num_features, num_classes, n_pad)
+
+    rng = np.random.default_rng(13)
+    pos = rng.uniform(-1.0, 1.0, (2, n_pad, 3)).astype(np.float32)
+    feats = rng.uniform(0.0, 1.0, (2, n_pad, num_features)).astype(np.float32)
+    mask = np.zeros((2, n_pad), bool)
+    for b, s in enumerate(sizes):
+        mask[b, :s] = True
+
+    _, mutated = net.apply(
+        variables,
+        jnp.asarray(feats), jnp.asarray(pos), jnp.asarray(mask), train=True,
+        rngs={"decimation": jax.random.PRNGKey(2),
+              "dropout": jax.random.PRNGKey(3)},
+        mutable=["batch_stats"],
+    )
+
+    # The reference flattens clouds into one graph, so each torch BN sees
+    # the ragged concatenation of both clouds' rows — while kNN, decimation
+    # and the LFA neighborhoods stay per-cloud. Running the per-cloud oracle
+    # twice would update the running stats twice with per-cloud moments
+    # (NOT the reference semantics), so emulate the flattened batch with a
+    # manual forward where every BN call pools rows from both clouds.
+    stats_ref = _torch_pooled_stats_forward(oracle, feats, pos, sizes)
+
+    flat = {}
+
+    def walk(tree, path=()):
+        for k, v in dict(tree).items():
+            if isinstance(v, dict) or hasattr(v, "items"):
+                walk(v, path + (k,))
+            else:
+                flat[path + (k,)] = np.asarray(v)
+
+    walk(mutated["batch_stats"])
+    from myria3d_tpu.utils.torch_ckpt import _torch_prefix
+
+    checked = 0
+    for path, got in flat.items():
+        *mods, leaf = path
+        key = _torch_prefix(tuple(mods))
+        tl = {"mean": "running_mean", "var": "running_var"}[leaf]
+        ref = stats_ref[f"{key}.{tl}"]
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"{key}.{tl}")
+        checked += 1
+    # 7 BNs per block x 4 blocks + summit + 4 FPs + 2 classif = 35 BNs,
+    # each with mean + var leaves
+    assert checked == 70
+
+
+def _torch_pooled_stats_forward(oracle, feats, pos, sizes):
+    """Run both clouds through the oracle with BN pooling moments over the
+    two clouds' rows jointly (the reference's flattened-batch semantics),
+    and return the updated running stats as a torch-style dict."""
+    # Wrap each BatchNorm1d so forward normalizes with externally-computed
+    # pooled batch stats. Two phases per BN call site: phase 1 records rows
+    # per call-site; phase 2 normalizes using pooled moments and updates
+    # running stats once.
+    # Because upstream normalization changes downstream activations, the
+    # phases must interleave per LAYER, not per full pass: process both
+    # clouds in lockstep through a batched oracle forward where tensors keep
+    # a list-of-clouds structure.
+    class Pooled:
+        def __init__(self, bn):
+            self.bn = bn
+
+        def __call__(self, xs):  # xs: list of (rows_b, C)
+            cat = torch.cat(xs, dim=0)
+            mean = cat.mean(dim=0)
+            var = cat.var(dim=0, unbiased=False)
+            n = cat.shape[0]
+            unbiased = var * n / max(n - 1, 1)
+            m = self.bn.momentum
+            self.bn.running_mean.mul_(1 - m).add_(m * mean)
+            self.bn.running_var.mul_(1 - m).add_(m * unbiased)
+            inv = torch.rsqrt(var + self.bn.eps)
+            return [
+                (x - mean) * inv * self.bn.weight + self.bn.bias for x in xs
+            ]
+
+    def mlp(mod, xs):
+        for i, lin in enumerate(mod.lins):
+            xs = [lin(x) for x in xs]
+            if mod.use_norm:
+                xs = Pooled(mod.norms[i])(xs)
+            if mod.use_act:
+                xs = [F.leaky_relu(x, 0.2) for x in xs]
+        return xs
+
+    def lfa(mod, idxs, xs, poss):
+        rels, lfs = [], []
+        for idx, x, p in zip(idxs, xs, poss):
+            n, k = idx.shape
+            pos_j = p[idx]
+            pos_i = p[:, None, :].expand(n, k, 3)
+            diff = pos_j - pos_i
+            dist = (diff * diff).sum(-1, keepdim=True).sqrt()
+            rels.append(torch.cat([pos_i, pos_j, diff, dist], -1).reshape(n * k, 10))
+        encs = mlp(mod.mlp_encoder, rels)
+        outs = []
+        for idx, x, enc in zip(idxs, xs, encs):
+            n, k = idx.shape
+            lf = torch.cat([x[idx], enc.reshape(n, k, -1)], dim=-1)
+            att = mod.mlp_attention.lins[0](lf)
+            scores = torch.softmax(att, dim=1)
+            outs.append((scores * lf).sum(dim=1))
+        return mlp(mod.mlp_post_attention, outs)
+
+    def block(mod, xs, poss):
+        idxs = [_dense_knn(p, mod.num_neighbors) for p in poss]
+        shortcuts = mlp(mod.shortcut, xs)
+        xs = mlp(mod.mlp1, xs)
+        xs = lfa(mod.lfa1, idxs, xs, poss)
+        xs = lfa(mod.lfa2, idxs, xs, poss)
+        xs = mlp(mod.mlp2, xs)
+        return [F.leaky_relu(x + s, 0.2) for x, s in zip(xs, shortcuts)]
+
+    def fp(mod, xs, poss, x_skips, pos_skips):
+        outs = []
+        for x, p, xs_, ps_ in zip(xs, poss, x_skips, pos_skips):
+            d2 = ((ps_.double()[:, None, :] - p.double()[None, :, :]) ** 2).sum(-1)
+            outs.append(torch.cat([x[d2.argmin(dim=1)], xs_], dim=-1))
+        return mlp(mod.nn, outs)
+
+    with torch.no_grad():
+        xs = [torch.from_numpy(feats[b, :s]) for b, s in enumerate(sizes)]
+        poss = [torch.from_numpy(pos[b, :s]) for b, s in enumerate(sizes)]
+        xs = [oracle.fc0(x) for x in xs]
+        skips = []
+        b1 = block(oracle.block1, xs, poss)
+        ns = [max(1, s // oracle.decimation) for s in sizes]
+        xs, poss1 = [x[:n] for x, n in zip(b1, ns)], [p[:n] for p, n in zip(poss, ns)]
+        b2 = block(oracle.block2, xs, poss1)
+        ns2 = [max(1, n // oracle.decimation) for n in ns]
+        xs, poss2 = [x[:n] for x, n in zip(b2, ns2)], [p[:n] for p, n in zip(poss1, ns2)]
+        b3 = block(oracle.block3, xs, poss2)
+        ns3 = [max(1, n // oracle.decimation) for n in ns2]
+        xs, poss3 = [x[:n] for x, n in zip(b3, ns3)], [p[:n] for p, n in zip(poss2, ns3)]
+        b4 = block(oracle.block4, xs, poss3)
+        ns4 = [max(1, n // oracle.decimation) for n in ns3]
+        xs, poss4 = [x[:n] for x, n in zip(b4, ns4)], [p[:n] for p, n in zip(poss3, ns4)]
+        xs = mlp(oracle.mlp_summit, xs)
+        xs = fp(oracle.fp4, xs, poss4, [x[:n] for x, n in zip(b3, ns3)], poss3)
+        xs = fp(oracle.fp3, xs, poss3, [x[:n] for x, n in zip(b2, ns2)], poss2)
+        xs = fp(oracle.fp2, xs, poss2, [x[:n] for x, n in zip(b1, ns)], poss1)
+        xs = fp(oracle.fp1, xs, poss1, b1, poss)
+        xs = mlp(oracle.mlp_classif, xs)
+
+    return {k: v.numpy() for k, v in oracle.state_dict().items()
+            if "running_" in k}
+
+
 def test_full_forward_matches_torch_oracle_ragged_batch(det_decimation):
     """Padded 2-cloud batch vs per-cloud oracle runs: masking (kNN, BN-eval,
     attention, decimation, FP) must keep each cloud's function identical to
