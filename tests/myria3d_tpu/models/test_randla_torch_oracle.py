@@ -23,6 +23,8 @@ random positions away from distance near-ties, where f32-vs-f64 ranking
 could legitimately swap two almost-equidistant neighbors.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -34,7 +36,14 @@ import myria3d_tpu.models.modules.randla_net as rl_mod
 from myria3d_tpu.models.modules.randla_net import RandLANet
 from myria3d_tpu.utils.torch_ckpt import convert_randlanet_state_dict
 
-torch.manual_seed(0)
+# The oracle comparison assumes exact kNN selection and f32 CPU numerics;
+# on the real chip (MYRIA3D_TEST_TPU=1) knn routes to the binned Pallas /
+# approx_min_k path (recall ~0.99) and neighbor sets legitimately diverge
+# from the float64 torch ranking.
+pytestmark = pytest.mark.skipif(
+    bool(os.environ.get("MYRIA3D_TEST_TPU")),
+    reason="parity oracle requires exact CPU kNN + f32 host numerics",
+)
 
 
 # ---------------------------------------------------------------------------
@@ -321,13 +330,13 @@ def test_train_mode_batch_stats_match_torch_oracle(det_decimation):
                 flat[path + (k,)] = np.asarray(v)
 
     walk(mutated["batch_stats"])
-    from myria3d_tpu.utils.torch_ckpt import _torch_prefix
+    from myria3d_tpu.utils.torch_ckpt import _LEAF_MAP_STATS, _torch_prefix
 
     checked = 0
     for path, got in flat.items():
         *mods, leaf = path
         key = _torch_prefix(tuple(mods))
-        tl = {"mean": "running_mean", "var": "running_var"}[leaf]
+        tl = _LEAF_MAP_STATS[leaf]
         ref = stats_ref[f"{key}.{tl}"]
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5,
                                    err_msg=f"{key}.{tl}")
@@ -415,7 +424,6 @@ def _torch_pooled_stats_forward(oracle, feats, pos, sizes):
         xs = [torch.from_numpy(feats[b, :s]) for b, s in enumerate(sizes)]
         poss = [torch.from_numpy(pos[b, :s]) for b, s in enumerate(sizes)]
         xs = [oracle.fc0(x) for x in xs]
-        skips = []
         b1 = block(oracle.block1, xs, poss)
         ns = [max(1, s // oracle.decimation) for s in sizes]
         xs, poss1 = [x[:n] for x, n in zip(b1, ns)], [p[:n] for p, n in zip(poss, ns)]
