@@ -209,6 +209,49 @@ def test_predict_on_laz(tmp_path, one_epoch_trained_ckpt, toy_las_path):
     assert out.header.point_count == len(pts)
 
 
+def test_predict_on_single_point_cloud(
+    tmp_path, one_epoch_trained_ckpt
+):
+    """Inference on a cloud with a single point (reference
+    ``test_predict_on_single_point_cloud``,
+    ``tests/myria3d/test_train_and_predict.py:130-143`` — edge case addressed
+    in reference V3.4.0), with a ``probas_to_save`` subset override."""
+    from myria3d_tpu.pctl.io.las import LasHeader, read_las, write_las
+
+    pts = np.zeros(1, dtype=[("X", "<f8"), ("Y", "<f8"), ("Z", "<f8"),
+                             ("Intensity", "<u2"), ("ReturnNumber", "u1"),
+                             ("NumberOfReturns", "u1"),
+                             ("Classification", "u1")])
+    pts["X"], pts["Y"], pts["Z"] = 870150.0, 6616950.0, 100.0
+    pts["ReturnNumber"] = 1
+    pts["NumberOfReturns"] = 1
+    pts["Classification"] = 2
+    src = str(tmp_path / "single_point.las")
+    write_las(src, pts, LasHeader(point_format=3))
+
+    out_dir = str(tmp_path / "preds_single")
+    run_cli(
+        [
+            "--config-path", CONFIG_DIR,
+            "task.task_name=predict",
+            f"predict.src_las={src}",
+            f"predict.ckpt_path={one_epoch_trained_ckpt}",
+            f"predict.output_dir={out_dir}",
+            "datamodule.epsg=2154",
+            "predict.interpolator.probas_to_save=[building,unclassified]",
+            "datamodule.batch_size=2",
+        ],
+        cwd=str(tmp_path),
+    )
+    out = read_las(os.path.join(out_dir, "single_point.las"))
+    assert len(out.points) == 1
+    names = out.points.dtype.names or ()
+    assert "PredictedClassification" in names
+    assert "building" in names and "unclassified" in names
+    # only the selected probas are written
+    assert "ground" not in names and "vegetation" not in names
+
+
 def test_predict_no_epsg_fails_informatively(
     tmp_path, one_epoch_trained_ckpt
 ):
