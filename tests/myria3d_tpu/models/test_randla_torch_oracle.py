@@ -286,6 +286,60 @@ def test_full_forward_matches_torch_oracle(det_decimation):
     np.testing.assert_array_equal(got.argmax(-1), ref.argmax(-1))
 
 
+def test_convert_checkpoint_file_roundtrip(det_decimation, tmp_path):
+    """The actual proto151 ingestion path: a Lightning-style ``.ckpt`` FILE
+    (state_dict under ``model.`` prefixes, stray ``num_batches_tracked``
+    scalars included) through ``convert_checkpoint_file`` -> orbax dir ->
+    ``Model.load_from_checkpoint`` -> eval forward equals the torch oracle."""
+    from myria3d_tpu.models.model import Model
+    from myria3d_tpu.utils.torch_ckpt import convert_checkpoint_file
+
+    num_features, num_classes, n = 9, 7, 1280
+    oracle = _randomized_oracle(num_features, num_classes, seed=5)
+
+    ckpt_path = str(tmp_path / "proto_synthetic.ckpt")
+    torch.save(
+        {
+            "epoch": 100,
+            "state_dict": {
+                f"model.{k}": v for k, v in oracle.state_dict().items()
+            },
+        },
+        ckpt_path,
+    )
+    hparams = {
+        "_target_": "myria3d_tpu.models.model.Model",
+        "neural_net_class_name": "RandLANet",
+        "neural_net_hparams": {
+            "num_features": num_features, "num_classes": num_classes,
+            "num_neighbors": 16, "decimation": 4, "return_logits": True,
+        },
+        "lr": 0.003933709606504788,
+    }
+    out_dir = convert_checkpoint_file(
+        ckpt_path, str(tmp_path / "converted"), hparams
+    )
+
+    model, state = Model.load_from_checkpoint(out_dir)
+    rng = np.random.default_rng(42)
+    pos = rng.uniform(-1.0, 1.0, (n, 3)).astype(np.float32)
+    feats = rng.uniform(0.0, 1.0, (n, num_features)).astype(np.float32)
+
+    with torch.no_grad():
+        ref = oracle(torch.from_numpy(feats), torch.from_numpy(pos)).numpy()
+
+    logits = model.net.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.asarray(feats)[None], jnp.asarray(pos)[None],
+        jnp.ones((1, n), bool), train=False,
+        rngs={"decimation": jax.random.PRNGKey(2)},
+    )
+    np.testing.assert_allclose(np.asarray(logits[0]), ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(logits[0]).argmax(-1), ref.argmax(-1)
+    )
+
+
 def test_train_mode_batch_stats_match_torch_oracle(det_decimation):
     """One train-mode forward on a padded ragged batch: every BN layer's
     updated running stats must match torch's (masked moments over valid
