@@ -42,6 +42,18 @@ def test_overlap_merge_by_logit_sum():
     assert codes[0] == 1 and codes[2] == 6
 
 
+def test_merge_handles_duplicate_and_unsorted_indices():
+    """Crop indices are sorted-unique in production (fancy += fast path);
+    the duplicate/unsorted fallback must still scatter-ADD exactly."""
+    itp = Interpolator(classification_dict=CLASSIFICATION_DICT)
+    logits = np.ones((1, 4, 3), np.float32)
+    itp.store_predictions(logits, [np.asarray([3, 1, 1, 0])])
+    merged = itp.reduce_predicted_logits(5)
+    np.testing.assert_allclose(merged[1], [2, 2, 2])  # duplicate summed
+    np.testing.assert_allclose(merged[3], [1, 1, 1])
+    np.testing.assert_allclose(merged[2], [0, 0, 0])
+
+
 def test_store_predictions_truncates_to_idx_length():
     itp = Interpolator(classification_dict=CLASSIFICATION_DICT)
     logits = np.zeros((2, 10, 3), np.float32)  # padded to 10
