@@ -33,6 +33,14 @@ class ModelCheckpoint:
     def _is_better(self, score: float) -> bool:
         return score < self.best_score if self.mode == "min" else score > self.best_score
 
+    def save_interrupt(self, model, state) -> str:
+        """Preemption save: write the "last" checkpoint (weights + optimizer
+        state) immediately — called by the Trainer on SIGTERM/SIGINT so an
+        evicted run resumes from the in-epoch state via ``model.ckpt_path``."""
+        os.makedirs(self.dirpath, exist_ok=True)
+        self.last_model_path = os.path.join(self.dirpath, "last")
+        return model.save_checkpoint(self.last_model_path, state)
+
     def on_validation_end(self, model, state, metrics: dict, epoch: int) -> None:
         os.makedirs(self.dirpath, exist_ok=True)
         if self.save_last:

@@ -150,7 +150,15 @@ class Interpolator:
 
         os.makedirs(output_dir, exist_ok=True)
         out_path = os.path.join(output_dir, os.path.basename(raw_path))
-        write_las(out_path, out, header=header, extra_dims="all")
+        # atomic publish: an existing output file is always complete, so
+        # predict.resume can trust it (a preemption mid-write leaves only
+        # the temp file, overwritten on the redo). The temp name keeps the
+        # original suffix — write_las picks LAZ compression by extension.
+        tmp_path = os.path.join(
+            output_dir, ".tmp." + os.path.basename(raw_path)
+        )
+        write_las(tmp_path, out, header=header, extra_dims="all")
+        os.replace(tmp_path, out_path)
         log.info(f"Predictions written to {out_path}")
 
         # reset accumulators for the next tile

@@ -11,8 +11,10 @@ fit runs test-after-fit with the best checkpoint like reference
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import os
+import signal
 from typing import Any, Dict, Iterable, List, Optional
 
 import jax
@@ -48,6 +50,12 @@ class TrainerConfig:
     # strict upgrade). False: per-shard BN + pmean'd grads — reference DDP
     # local-batch-BN training parity (SURVEY.md §7 last bullet).
     sync_batchnorm: bool = True
+    # Preemption safety: on SIGTERM/SIGINT finish the in-flight step, save
+    # the "last" checkpoint (weights + optimizer state, resumable via
+    # model.ckpt_path) and stop cleanly. TPU fleets deliver SIGTERM ahead
+    # of maintenance/preemption; the reference relies on Lightning's
+    # KeyboardInterrupt teardown and loses in-epoch progress.
+    save_on_interrupt: bool = True
 
     def __init__(self, **kwargs: Any):
         for f in dataclasses.fields(self):
@@ -88,6 +96,7 @@ class Trainer:
         self.finetune_cb = self.callbacks.get("finetune")
         self.global_step = 0
         self.state: Optional[TrainState] = None
+        self.interrupted = False  # set by the SIGTERM/SIGINT handler in fit
         self.par = None  # ParallelSteps when >1 device (set in fit/test)
         # predict.exact_interpolation also governs task=test (full-cloud
         # mIoU is computed there — the checkpoint-parity metric)
@@ -109,6 +118,40 @@ class Trainer:
 
     def _place(self, arrays):
         return self.par.place_batch(arrays) if self.par is not None else arrays
+
+    @contextlib.contextmanager
+    def _graceful_interrupts(self):
+        """While active, the first SIGTERM/SIGINT only sets
+        ``self.interrupted`` — the loop finishes its in-flight step, saves
+        the "last" checkpoint and returns; a second signal falls back to
+        the default die-now behavior. No-op off the main thread (signal
+        handlers can only be installed there) or when disabled by config."""
+        if not getattr(self.cfg, "save_on_interrupt", True):
+            yield
+            return
+        previous: Dict[int, Any] = {}
+
+        def handler(signum, frame):
+            if self.interrupted:  # second signal: stop being graceful
+                for s, h in previous.items():
+                    signal.signal(s, h)
+                raise KeyboardInterrupt
+            self.interrupted = True
+            log.info(
+                f"Received signal {signum} — finishing the current step, "
+                "saving the last checkpoint, then stopping."
+            )
+
+        try:
+            for s in (signal.SIGTERM, signal.SIGINT):
+                previous[s] = signal.signal(s, handler)
+        except ValueError:  # not in the main thread
+            previous = {}
+        try:
+            yield
+        finally:
+            for s, h in previous.items():
+                signal.signal(s, h)
 
     # ------------------------------------------------------------------
 
@@ -200,114 +243,154 @@ class Trainer:
 
         stop = False
         epoch = 0
-        for epoch in range(self.cfg.max_epochs):
-            from myria3d_tpu.utils.profiling import trace
-
-            epoch_trace = trace(profile_dir if epoch == 0 else None)
-            lr_mult = None
-            if finetune and self.finetune_cb is not None:
-                lr_mult = self.finetune_cb.lr_mult_for_epoch(
-                    self.state.params, epoch
+        with self._graceful_interrupts():
+            for epoch in range(self.cfg.max_epochs):
+                if self.interrupted:
+                    break
+                epoch_done = self._fit_one_epoch(
+                    model, datamodule, epoch, step_rng, scheduler,
+                    per_step_sched, sched_fused, finetune, overfit_batches,
+                    profile_dir,
                 )
-
-            # ---- train epoch (losses stay on device; fetched at the log
-            # cadence and once at epoch end — no per-step host sync)
-            train_losses: List[Any] = []
-            iterator: Iterable = (
-                overfit_batches
-                if overfit_batches is not None
-                else _limited(
-                    datamodule.train_dataloader(seed=self.seed + epoch),
-                    self.cfg.limit_train_batches,
-                )
-            )
-            if overfit_batches is None:
-                # overlap host-side sample prep/collate with device steps
-                # (SURVEY.md §7: double-buffered host->device feeding)
-                from myria3d_tpu.pctl.loader import BackgroundIterator
-
-                iterator = BackgroundIterator(iterator, max_prefetch=2)
-            with epoch_trace:
-                for batch in iterator:
-                    if batch is None:
-                        continue
-                    arrays = self._place(batch.device_arrays())
-                    if lr_mult is None:
-                        step_fn = (
-                            self.par.train_step if self.par is not None
-                            else model.train_step
-                        )
-                        self.state, loss, logits = step_fn(
-                            self.state, arrays["x"], arrays["pos"],
-                            arrays["y"], arrays["mask"], step_rng,
-                        )
-                    else:
-                        step_fn = (
-                            self.par.train_step_lr_mult if self.par is not None
-                            else model.train_step
-                        )
-                        self.state, loss, logits = step_fn(
-                            self.state, arrays["x"], arrays["pos"],
-                            arrays["y"], arrays["mask"], step_rng, lr_mult,
-                        )
-                    self.global_step += 1
-                    train_losses.append(loss)
-                    if self.metrics is not None:
-                        self.metrics.update(
-                            "train", logits, arrays["y"], arrays["mask"]
-                        )
-                    if self.global_step % max(1, self.cfg.log_every_n_steps) == 0:
-                        row = {"train/loss_step": float(loss)}
-                        if self.lr_monitor is not None and scheduler is not None:
-                            row.update(self.lr_monitor.metrics(
-                                model.lr * getattr(scheduler, "scale", 1.0)))
-                        self._log(row)
-                    if per_step_sched:
-                        scale = scheduler.step()  # host bookkeeping (display)
-                        if not sched_fused:
-                            self._apply_lr(model, scale)
-
-            epoch_metrics: Dict[str, float] = {
-                "epoch": float(epoch),
-                "train/loss_epoch": (
-                    float(np.mean(jax.device_get(train_losses)))
-                    if train_losses else float("nan")
-                ),
-            }
-            if self.metrics is not None:
-                self._log_confusion_matrix("train", epoch)
-                epoch_metrics.update(self.metrics.compute_and_reset("train"))
-
-            # ---- val epoch
-            val_metrics = self._val_epoch(
-                model, datamodule, step_rng, limit=self.cfg.limit_val_batches,
-                overfit_batches=overfit_batches,
-            )
-            epoch_metrics.update(val_metrics)
-            self._log(epoch_metrics)
-
-            # ---- control plane: scheduler / ckpt / early stop
-            monitor_value = epoch_metrics.get(model.monitor)
-            if scheduler is not None and not per_step_sched and monitor_value is not None:
-                self._apply_lr(model, scheduler.step(monitor_value))
-            if self.checkpoint_cb is not None:
-                self.checkpoint_cb.on_validation_end(
-                    model, self.state, epoch_metrics, epoch
-                )
-            if self.early_stopping is not None:
-                stop = self.early_stopping.on_validation_end(epoch_metrics)
+                if epoch_done is not None:
+                    stop = epoch_done
+                if self.interrupted:
+                    break
+                if stop and epoch + 1 >= self.cfg.min_epochs:
+                    log.info(f"Early stopping at epoch {epoch}")
+                    break
+        if self.interrupted:
+            path = None
+            if self.checkpoint_cb is not None and hasattr(
+                self.checkpoint_cb, "save_interrupt"
+            ):
+                path = self.checkpoint_cb.save_interrupt(model, self.state)
             log.info(
-                f"epoch {epoch}: "
-                + " ".join(
-                    f"{k}={v:.4f}" for k, v in epoch_metrics.items()
-                    if isinstance(v, float) and "/" in k and k.count("/") == 1
-                )
+                f"Training interrupted at epoch {epoch}, "
+                f"step {self.global_step}"
+                + (f"; resumable checkpoint: {path}" if path else "")
             )
-            if stop and epoch + 1 >= self.cfg.min_epochs:
-                log.info(f"Early stopping at epoch {epoch}")
-                break
-
         return self.state
+
+    def _fit_one_epoch(self, model, datamodule, epoch, step_rng, scheduler,
+                       per_step_sched, sched_fused, finetune,
+                       overfit_batches, profile_dir) -> Optional[bool]:
+        """One train+val epoch; returns the early-stopping decision (or
+        None before it is evaluated, e.g. on interrupt)."""
+        from myria3d_tpu.utils.profiling import trace
+
+        epoch_trace = trace(profile_dir if epoch == 0 else None)
+        lr_mult = None
+        if finetune and self.finetune_cb is not None:
+            lr_mult = self.finetune_cb.lr_mult_for_epoch(
+                self.state.params, epoch
+            )
+
+        # ---- train epoch (losses stay on device; fetched at the log
+        # cadence and once at epoch end — no per-step host sync)
+        train_losses: List[Any] = []
+        iterator: Iterable = (
+            overfit_batches
+            if overfit_batches is not None
+            else _limited(
+                datamodule.train_dataloader(seed=self.seed + epoch),
+                self.cfg.limit_train_batches,
+            )
+        )
+        if overfit_batches is None:
+            # overlap host-side sample prep/collate with device steps
+            # (SURVEY.md §7: double-buffered host->device feeding)
+            from myria3d_tpu.pctl.loader import BackgroundIterator
+
+            iterator = BackgroundIterator(iterator, max_prefetch=2)
+        with epoch_trace:
+            for batch in iterator:
+                if batch is None:
+                    continue
+                arrays = self._place(batch.device_arrays())
+                if lr_mult is None:
+                    step_fn = (
+                        self.par.train_step if self.par is not None
+                        else model.train_step
+                    )
+                    self.state, loss, logits = step_fn(
+                        self.state, arrays["x"], arrays["pos"],
+                        arrays["y"], arrays["mask"], step_rng,
+                    )
+                else:
+                    step_fn = (
+                        self.par.train_step_lr_mult if self.par is not None
+                        else model.train_step
+                    )
+                    self.state, loss, logits = step_fn(
+                        self.state, arrays["x"], arrays["pos"],
+                        arrays["y"], arrays["mask"], step_rng, lr_mult,
+                    )
+                self.global_step += 1
+                train_losses.append(loss)
+                if self.metrics is not None:
+                    self.metrics.update(
+                        "train", logits, arrays["y"], arrays["mask"]
+                    )
+                if self.global_step % max(1, self.cfg.log_every_n_steps) == 0:
+                    row = {"train/loss_step": float(loss)}
+                    if self.lr_monitor is not None and scheduler is not None:
+                        row.update(self.lr_monitor.metrics(
+                            model.lr * getattr(scheduler, "scale", 1.0)))
+                    self._log(row)
+                if per_step_sched:
+                    scale = scheduler.step()  # host bookkeeping (display)
+                    if not sched_fused:
+                        self._apply_lr(model, scale)
+                if self.interrupted:
+                    break
+
+        if self.interrupted:
+            # in-flight step folded in; skip val — fit saves and returns
+            return None
+
+        epoch_metrics: Dict[str, float] = {
+            "epoch": float(epoch),
+            "train/loss_epoch": (
+                float(np.mean(jax.device_get(train_losses)))
+                if train_losses else float("nan")
+            ),
+        }
+        if self.metrics is not None:
+            self._log_confusion_matrix("train", epoch)
+            epoch_metrics.update(self.metrics.compute_and_reset("train"))
+
+        # ---- val epoch
+        val_metrics = self._val_epoch(
+            model, datamodule, step_rng, limit=self.cfg.limit_val_batches,
+            overfit_batches=overfit_batches,
+        )
+        if self.interrupted:
+            # partial val metrics: don't let them elect a "best" checkpoint
+            # or advance the scheduler — fit saves "last" and returns
+            return None
+        epoch_metrics.update(val_metrics)
+        self._log(epoch_metrics)
+
+        # ---- control plane: scheduler / ckpt / early stop
+        stop = False
+        monitor_value = epoch_metrics.get(model.monitor)
+        if scheduler is not None and not per_step_sched and monitor_value is not None:
+            self._apply_lr(model, scheduler.step(monitor_value))
+        if self.checkpoint_cb is not None:
+            self.checkpoint_cb.on_validation_end(
+                model, self.state, epoch_metrics, epoch
+            )
+        if self.early_stopping is not None:
+            stop = self.early_stopping.on_validation_end(epoch_metrics)
+        log.info(
+            f"epoch {epoch}: "
+            + " ".join(
+                f"{k}={v:.4f}" for k, v in epoch_metrics.items()
+                if isinstance(v, float) and "/" in k and k.count("/") == 1
+            )
+        )
+        return stop
 
     def _val_epoch(self, model: Model, datamodule, rng, limit=None,
                    log_prefix: Optional[str] = "val", overfit_batches=None
@@ -330,6 +413,8 @@ class Trainer:
             losses.append(loss)
             if self.metrics is not None and log_prefix:
                 self.metrics.update(log_prefix, logits, arrays["y"], arrays["mask"])
+            if self.interrupted:
+                break
         if log_prefix is None:
             return {}
         out = {
@@ -550,6 +635,8 @@ def train(config) -> Trainer:
             model.lr = lr_range_test(model, datamodule, seed=seed)
         log.info("Starting training!")
         trainer.fit(model, datamodule, ckpt_path=ckpt_path)
+        if trainer.interrupted:
+            return trainer  # preempted: checkpoint saved, skip test-after-fit
         best = getattr(trainer.checkpoint_cb, "best_model_path", None)
         log.info(f"Best checkpoint: {best}")
         if best:

@@ -100,8 +100,19 @@ def launch_predict(config):
     las_files = sorted(glob.glob(src)) if any(c in src for c in "*?[") else [src]
     if not las_files:
         raise FileNotFoundError(f"No LAS file matches predict.src_las={src}")
+    # predict.resume: skip inputs whose output already exists — outputs are
+    # published atomically (interpolation.py), so presence means complete.
+    resume = bool(config["predict"].get("resume", False))
+    output_dir = config["predict"]["output_dir"]
     outs = []
     for las in las_files:
+        out_path = os.path.join(output_dir, os.path.basename(las))
+        if resume and os.path.exists(out_path):
+            utils.get_logger(__name__).info(
+                f"predict.resume: output exists, skipping {las}"
+            )
+            outs.append(out_path)
+            continue
         cfg = dict(config)
         cfg["predict"] = dict(config["predict"])
         cfg["predict"]["src_las"] = las

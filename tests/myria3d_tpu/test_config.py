@@ -168,3 +168,44 @@ def test_hydra_run_dir_parity(tmp_path, monkeypatch):
     cfg2 = compose(CONFIG_DIR, "config.yaml", ["hydra.job.chdir=false"])
     run_mod._enter_run_dir(cfg2)
     assert os.getcwd() == orig
+
+
+def test_launch_predict_resume_skips_existing_outputs(tmp_path, monkeypatch):
+    """predict.resume=true skips inputs whose output LAS already exists
+    (atomic publish makes presence imply completeness) and still returns
+    the output path; remaining files go through predict()."""
+    import run as run_mod
+
+    src_dir = tmp_path / "src"
+    out_dir = tmp_path / "out"
+    src_dir.mkdir()
+    out_dir.mkdir()
+    (src_dir / "a.las").write_bytes(b"")
+    (src_dir / "b.las").write_bytes(b"")
+    (out_dir / "a.las").write_bytes(b"done")  # pre-existing output for a
+
+    calls = []
+
+    def fake_predict(cfg):
+        calls.append(cfg["predict"]["src_las"])
+        return os.path.join(cfg["predict"]["output_dir"], "b.las")
+
+    import myria3d_tpu.predict as predict_mod
+
+    monkeypatch.setattr(predict_mod, "predict", fake_predict)
+    config = {
+        "predict": {
+            "src_las": str(src_dir / "*.las"),
+            "output_dir": str(out_dir),
+            "resume": True,
+        },
+    }
+    outs = run_mod.launch_predict(config)
+    assert calls == [str(src_dir / "b.las")]  # a skipped, b predicted
+    assert outs[0] == str(out_dir / "a.las")
+
+    # resume off (default): both go through predict()
+    calls.clear()
+    config["predict"]["resume"] = False
+    run_mod.launch_predict(config)
+    assert len(calls) == 2
