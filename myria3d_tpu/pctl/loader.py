@@ -115,23 +115,54 @@ class BackgroundIterator:
     def __init__(self, iterable: Iterable, max_prefetch: int = 2):
         self._q: "queue.Queue" = queue.Queue(maxsize=max_prefetch)
         self._err: Optional[BaseException] = None
+        self._closed = threading.Event()
 
         def run() -> None:
             try:
                 for item in iterable:
-                    self._q.put(item)
+                    # bounded put so a consumer that stopped reading (e.g.
+                    # a preemption break) can unblock us via close()
+                    while not self._closed.is_set():
+                        try:
+                            self._q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._closed.is_set():
+                        return
             except BaseException as e:  # noqa: BLE001 — re-raised in consumer
                 self._err = e
             finally:
-                self._q.put(self._DONE)
+                while not self._closed.is_set():
+                    try:
+                        self._q.put(self._DONE, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         self._thread = threading.Thread(target=run, daemon=True)
         self._thread.start()
+
+    def close(self, timeout: float = 5.0) -> None:
+        """Stop the producer thread without draining the source iterator.
+
+        Safe to call after breaking out of the consuming loop early (the
+        preemption path in ``Trainer._fit_one_epoch``); idempotent."""
+        self._closed.set()
+        # drain so a producer blocked on put() can observe the event
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=timeout)
 
     def __iter__(self):
         return self
 
     def __next__(self):
+        if self._closed.is_set():
+            raise StopIteration
         item = self._q.get()
         if item is self._DONE:
             if self._err is not None:

@@ -346,7 +346,11 @@ class Trainer:
                     break
 
         if self.interrupted:
-            # in-flight step folded in; skip val — fit saves and returns
+            # in-flight step folded in; skip val — fit saves and returns.
+            # Stop the prefetch thread so it does not keep the dataset
+            # pipeline (h5py handles, worker pool) alive past the save.
+            if hasattr(iterator, "close"):
+                iterator.close()
             return None
 
         epoch_metrics: Dict[str, float] = {

@@ -82,6 +82,36 @@ def test_background_iterator_passthrough_and_errors():
         list(it)
 
 
+def test_background_iterator_close_unblocks_producer():
+    # A consumer that stops reading early (preemption break) must be able
+    # to stop the producer thread even while it is blocked on a full queue.
+    produced = []
+
+    def slow_source():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    it = BackgroundIterator(slow_source(), max_prefetch=2)
+    assert next(it) == 0
+    it.close()
+    assert not it._thread.is_alive()
+    # close is idempotent and iteration afterwards terminates cleanly
+    it.close()
+    assert list(it) == []
+    assert len(produced) < 1000  # the source was NOT drained
+
+
+def test_background_iterator_done_survives_full_queue():
+    # Producer finishing against a full queue must still deliver the
+    # DONE sentinel once the consumer catches up (no lost-terminator hang).
+    import time
+
+    it = BackgroundIterator(iter([1, 2, 3]), max_prefetch=1)
+    time.sleep(0.3)  # let the producer fill the queue and finish
+    assert list(it) == [1, 2, 3]
+
+
 def test_collate_rejects_oversized_batch():
     with pytest.raises(ValueError):
         collate_padded([_sample(10)] * 3, batch_size=2)
