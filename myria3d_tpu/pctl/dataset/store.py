@@ -12,15 +12,21 @@ existing dataset files keep working:
 The code around the schema is organized differently from the reference:
 write, resume and indexing live here behind three verbs (``tile_status`` /
 ``ingest_tile`` / ``read``), the cached index is invalidated on ingest
-instead of silently going stale, and reads go through one lazily-opened
-per-process handle guarded by a lock (safe under the thread-pool loader).
+instead of silently going stale, and concurrent reads scale across loader
+threads: h5py is only used once per sample to resolve dataset metadata
+(offset/shape/dtype — cached), after which the data bytes are read with
+positional ``os.pread`` on a raw file descriptor. HDF5 calls all serialize
+behind h5py's global library lock no matter how many handles exist (the
+reference sidesteps that with per-worker *processes*,
+``hdf5.py:115-138``) — ``pread`` has no lock and releases the GIL, so the
+thread-pool loader's workers genuinely overlap I/O.
 """
 
 from __future__ import annotations
 
 import os
 import threading
-from typing import Iterable, List, Optional
+from typing import Dict, Iterable, List, Optional, Tuple
 
 import h5py
 import numpy as np
@@ -32,15 +38,33 @@ TILE_ABSENT = "absent"
 TILE_PARTIAL = "partial"
 TILE_COMPLETE = "complete"
 
+# sample datasets in schema order: (name, stored dtype, returned dtype)
+_FIELDS = (
+    ("x", np.float32, np.float32),
+    ("pos", np.float32, np.float32),
+    ("y", np.int32, np.int64),
+    ("idx_in_original_cloud", np.int32, np.int32),
+)
+
 
 class HDF5SampleStore:
     """Grouped subtile-sample cache in a single HDF5 file."""
 
     def __init__(self, path: str):
         self.path = path
-        self._reader: Optional[h5py.File] = None
-        self._reader_lock = threading.Lock()
+        self._local = threading.local()
+        self._handles_lock = threading.Lock()
+        self._h5_handles: List[h5py.File] = []
+        self._fds: List[int] = []
+        # bumped by close(): threads whose cached handle/fd belongs to an
+        # older generation reopen instead of touching a closed (and possibly
+        # number-reused) descriptor
+        self._gen = 0
         self._paths_cache: Optional[List[str]] = None
+        # sample_path -> (x_features_names, {field: (offset, shape, dtype)})
+        # offset None => non-contiguous/filtered dataset, h5py fallback
+        self._meta: Dict[str, Tuple[List[str], dict]] = {}
+        self._meta_lock = threading.Lock()
 
     # ------------------------------------------------------------------
     # Write side
@@ -63,6 +87,7 @@ class HDF5SampleStore:
             key = f"{split}/{basename}"
             if key in f:
                 del f[key]
+        self._invalidate()
 
     def ingest_tile(
         self, split: str, basename: str, samples: Iterable[dict]
@@ -91,8 +116,16 @@ class HDF5SampleStore:
             # new samples invalidate any cached index
             if INDEX_KEY in f:
                 del f[INDEX_KEY]
-        self._paths_cache = None
+        self._invalidate()
         return count
+
+    def _invalidate(self) -> None:
+        """Ingest moves data around the file — drop caches AND open read
+        state (offsets resolved against the old layout must not survive)."""
+        self._paths_cache = None
+        with self._meta_lock:
+            self._meta.clear()
+        self.close()
 
     # ------------------------------------------------------------------
     # Read side
@@ -135,25 +168,100 @@ class HDF5SampleStore:
         prefix = f"{split}/"
         return [p for p in self.sample_paths() if p.startswith(prefix)]
 
+    def _h5_reader(self) -> h5py.File:
+        """Per-thread lazily-opened read handle (never shared across
+        threads, so no coarse lock; h5py's own library lock still guards
+        the HDF5 calls made through it)."""
+        f = getattr(self._local, "reader", None)
+        if (
+            f is None or not f.id.valid
+            or getattr(self._local, "gen", -1) != self._gen
+        ):
+            f = h5py.File(self.path, "r")
+            self._local.reader = f
+            self._local.gen = self._gen
+            with self._handles_lock:
+                self._h5_handles.append(f)
+        return f
+
+    def _raw_fd(self) -> int:
+        """Per-thread raw file descriptor for positional pread."""
+        fd = getattr(self._local, "fd", None)
+        if fd is None or getattr(self._local, "fd_gen", -1) != self._gen:
+            fd = os.open(self.path, os.O_RDONLY)
+            self._local.fd = fd
+            self._local.fd_gen = self._gen
+            with self._handles_lock:
+                self._fds.append(fd)
+        return fd
+
+    def _resolve_meta(self, sample_path: str):
+        """Dataset offsets/shapes/dtypes + feature names for one sample
+        (one-time h5py metadata walk, cached; offset is None for any
+        dataset HDF5 stored non-contiguously)."""
+        with self._meta_lock:
+            meta = self._meta.get(sample_path)
+        if meta is not None:
+            return meta
+        grp = self._h5_reader()[sample_path]
+        names = grp["x"].attrs["x_features_names"]
+        names = [n if isinstance(n, str) else n.decode() for n in names]
+        fields = {}
+        for name, stored, _ in _FIELDS:
+            ds = grp[name]
+            offset = ds.id.get_offset()  # None unless contiguous
+            if ds.dtype != np.dtype(stored):  # foreign-written cache
+                offset = None
+            fields[name] = (offset, ds.shape, ds.dtype)
+        meta = (names, fields)
+        with self._meta_lock:
+            self._meta[sample_path] = meta
+        return meta
+
     def read(self, sample_path: str) -> dict:
-        """Load one sample as a numpy dict (lazy per-process handle)."""
-        with self._reader_lock:
-            if self._reader is None:
-                self._reader = h5py.File(self.path, "r")
-            grp = self._reader[sample_path]
-            names = grp["x"].attrs["x_features_names"]
-            return {
-                "x": grp["x"][...],
-                "pos": grp["pos"][...],
-                "y": grp["y"][...].astype(np.int64),
-                "idx_in_original_cloud": grp["idx_in_original_cloud"][...],
-                "x_features_names": [
-                    n if isinstance(n, str) else n.decode() for n in names
-                ],
-            }
+        """Load one sample as a numpy dict.
+
+        Data bytes ride ``os.pread`` (lock-free, GIL-releasing) whenever the
+        dataset is contiguous — which everything written by ``ingest_tile``
+        is; anything else falls back to a per-thread h5py read."""
+        names, fields = self._resolve_meta(sample_path)
+        out = {"x_features_names": names}
+        fd = self._raw_fd()
+        for name, stored, returned in _FIELDS:
+            offset, shape, dtype = fields[name]
+            if offset is None or int(np.prod(shape)) == 0:
+                arr = self._h5_reader()[sample_path][name][...]
+            else:
+                # preadv straight into a writable numpy buffer: no h5py
+                # global lock, GIL released, no read-only frombuffer view
+                arr = np.empty(shape, dtype)
+                nread = os.preadv(fd, [memoryview(arr).cast("B")], offset)
+                if nread != arr.nbytes:
+                    raise IOError(
+                        f"short read for {sample_path}/{name}: "
+                        f"{nread}/{arr.nbytes} bytes"
+                    )
+            out[name] = arr.astype(returned, copy=False)
+        return out
 
     def close(self) -> None:
-        with self._reader_lock:
-            if self._reader is not None:
-                self._reader.close()
-                self._reader = None
+        self._gen += 1
+        with self._handles_lock:
+            for f in self._h5_handles:
+                try:
+                    if f.id.valid:
+                        f.close()
+                except Exception:  # noqa: BLE001 — already closed elsewhere
+                    pass
+            self._h5_handles.clear()
+            for fd in self._fds:
+                try:
+                    os.close(fd)
+                except OSError:
+                    pass
+            self._fds.clear()
+        # thread-local refs in OTHER threads may still point at the closed
+        # objects; _h5_reader/_raw_fd re-validate and reopen on next use.
+        # This thread's refs are dropped eagerly:
+        self._local.reader = None
+        self._local.fd = None

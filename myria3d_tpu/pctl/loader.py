@@ -13,6 +13,7 @@ Prefetching overlaps host-side sample preparation with device compute — the
 from __future__ import annotations
 
 import itertools
+import logging
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -25,6 +26,8 @@ from myria3d_tpu.pctl.batching import (
     PointCloudBatch,
     collate_padded,
 )
+
+_log = logging.getLogger(__name__)
 
 
 class PaddedBatchLoader:
@@ -115,6 +118,7 @@ class BackgroundIterator:
     def __init__(self, iterable: Iterable, max_prefetch: int = 2):
         self._q: "queue.Queue" = queue.Queue(maxsize=max_prefetch)
         self._err: Optional[BaseException] = None
+        self._err_delivered = False
         self._closed = threading.Event()
 
         def run() -> None:
@@ -143,11 +147,16 @@ class BackgroundIterator:
         self._thread = threading.Thread(target=run, daemon=True)
         self._thread.start()
 
-    def close(self, timeout: float = 5.0) -> None:
+    def close(self, timeout: float = 5.0) -> bool:
         """Stop the producer thread without draining the source iterator.
 
         Safe to call after breaking out of the consuming loop early (the
-        preemption path in ``Trainer._fit_one_epoch``); idempotent."""
+        preemption path in ``Trainer._fit_one_epoch``); idempotent. Returns
+        True when the producer thread has actually exited; False when it is
+        still finishing an in-flight sample (it cannot be interrupted inside
+        the source iterator itself — e.g. a blocking h5py read — and is a
+        daemon thread, so a True-less return is harmless but means the
+        sample pipeline is still briefly open)."""
         self._closed.set()
         # drain so a producer blocked on put() can observe the event
         try:
@@ -156,16 +165,41 @@ class BackgroundIterator:
         except queue.Empty:
             pass
         self._thread.join(timeout=timeout)
+        alive = self._thread.is_alive()
+        if alive:
+            _log.warning(
+                "BackgroundIterator.close(): producer thread still finishing "
+                "an in-flight sample after %.1fs (daemon; will exit with the "
+                "process)", timeout,
+            )
+        # a producer error that raced the close would otherwise vanish with
+        # the suppressed DONE sentinel — surface it in the log at least
+        # (unless __next__ already re-raised it to the consumer)
+        if self._err is not None and not self._err_delivered:
+            _log.warning(
+                "BackgroundIterator.close(): pending producer error "
+                "discarded by early consumer exit: %r", self._err,
+            )
+        return not alive
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        if self._closed.is_set():
-            raise StopIteration
-        item = self._q.get()
+        # timeout-poll instead of a bare blocking get(): if close() runs on
+        # another thread after the closed-flag check, the producer may have
+        # exited without ever enqueuing DONE — re-check the flag each tick
+        while True:
+            if self._closed.is_set():
+                raise StopIteration
+            try:
+                item = self._q.get(timeout=0.5)
+                break
+            except queue.Empty:
+                continue
         if item is self._DONE:
             if self._err is not None:
+                self._err_delivered = True
                 raise self._err
             raise StopIteration
         return item

@@ -9,6 +9,18 @@
 // POINT10 / GPSTIME11 / RGB12 / BYTE item codecs at version 2 — both
 // directions, plus the chunked container and compressed chunk table.
 //
+// Derivation & attribution: this file is an independent implementation
+// written from the published LASzip specification (laszip.org; Isenburg,
+// "LASzip: lossless compression of LiDAR data", PE&RS 2013) and the LAS 1.4
+// / LAZ format documents. It was not copied from the LASzip sources.
+// Identifier-level resemblance to LASzip (e.g. corrector ranges, bit-model
+// update rules, StreamingMedian5) is inherent to the format: the bitstream
+// *is* those exact adaptive-state transitions, so any interoperable codec
+// converges to the same update arithmetic. LASzip itself is available under
+// LGPL-2.1 (classic) and Apache-2.0 (>= 3.4); implementing the published
+// format from its specification creates no derivative-work obligation, and
+// this file carries this repository's own license.
+//
 // Exposed as a small C ABI driven from Python ctypes (pctl/io/las.py).
 
 #include <atomic>

@@ -303,54 +303,59 @@ class Trainer:
             from myria3d_tpu.pctl.loader import BackgroundIterator
 
             iterator = BackgroundIterator(iterator, max_prefetch=2)
-        with epoch_trace:
-            for batch in iterator:
-                if batch is None:
-                    continue
-                arrays = self._place(batch.device_arrays())
-                if lr_mult is None:
-                    step_fn = (
-                        self.par.train_step if self.par is not None
-                        else model.train_step
-                    )
-                    self.state, loss, logits = step_fn(
-                        self.state, arrays["x"], arrays["pos"],
-                        arrays["y"], arrays["mask"], step_rng,
-                    )
-                else:
-                    step_fn = (
-                        self.par.train_step_lr_mult if self.par is not None
-                        else model.train_step
-                    )
-                    self.state, loss, logits = step_fn(
-                        self.state, arrays["x"], arrays["pos"],
-                        arrays["y"], arrays["mask"], step_rng, lr_mult,
-                    )
-                self.global_step += 1
-                train_losses.append(loss)
-                if self.metrics is not None:
-                    self.metrics.update(
-                        "train", logits, arrays["y"], arrays["mask"]
-                    )
-                if self.global_step % max(1, self.cfg.log_every_n_steps) == 0:
-                    row = {"train/loss_step": float(loss)}
-                    if self.lr_monitor is not None and scheduler is not None:
-                        row.update(self.lr_monitor.metrics(
-                            model.lr * getattr(scheduler, "scale", 1.0)))
-                    self._log(row)
-                if per_step_sched:
-                    scale = scheduler.step()  # host bookkeeping (display)
-                    if not sched_fused:
-                        self._apply_lr(model, scale)
-                if self.interrupted:
-                    break
+        try:
+            with epoch_trace:
+                for batch in iterator:
+                    if batch is None:
+                        continue
+                    arrays = self._place(batch.device_arrays())
+                    if lr_mult is None:
+                        step_fn = (
+                            self.par.train_step if self.par is not None
+                            else model.train_step
+                        )
+                        self.state, loss, logits = step_fn(
+                            self.state, arrays["x"], arrays["pos"],
+                            arrays["y"], arrays["mask"], step_rng,
+                        )
+                    else:
+                        step_fn = (
+                            self.par.train_step_lr_mult if self.par is not None
+                            else model.train_step
+                        )
+                        self.state, loss, logits = step_fn(
+                            self.state, arrays["x"], arrays["pos"],
+                            arrays["y"], arrays["mask"], step_rng, lr_mult,
+                        )
+                    self.global_step += 1
+                    train_losses.append(loss)
+                    if self.metrics is not None:
+                        self.metrics.update(
+                            "train", logits, arrays["y"], arrays["mask"]
+                        )
+                    if self.global_step % max(1, self.cfg.log_every_n_steps) == 0:
+                        row = {"train/loss_step": float(loss)}
+                        if self.lr_monitor is not None and scheduler is not None:
+                            row.update(self.lr_monitor.metrics(
+                                model.lr * getattr(scheduler, "scale", 1.0)))
+                        self._log(row)
+                    if per_step_sched:
+                        scale = scheduler.step()  # host bookkeeping (display)
+                        if not sched_fused:
+                            self._apply_lr(model, scale)
+                    if self.interrupted:
+                        break
+        finally:
+            # Stop the prefetch thread on ANY exit from the step loop —
+            # normal exhaustion (no-op), a preemption break, or an
+            # exception raised by a train step — so it never keeps the
+            # dataset pipeline (h5py handles, worker pool) alive
+            # (ADVICE r2: the close ran only on the interrupted path).
+            if hasattr(iterator, "close"):
+                iterator.close()
 
         if self.interrupted:
             # in-flight step folded in; skip val — fit saves and returns.
-            # Stop the prefetch thread so it does not keep the dataset
-            # pipeline (h5py handles, worker pool) alive past the save.
-            if hasattr(iterator, "close"):
-                iterator.close()
             return None
 
         epoch_metrics: Dict[str, float] = {

@@ -78,8 +78,11 @@ def test_store_predictions_warns_when_cloud_exceeds_bucket(caplog):
     assert merged.shape == (12, 3)
 
 
-def test_uncovered_points_warned(tmp_path, caplog):
-    """Points never covered by any subtile are counted and reported."""
+def test_uncovered_points_closed_by_nearest_covered(tmp_path, caplog):
+    """Points never covered by any subtile inherit their nearest covered
+    neighbor's logits — 100% coverage like the reference (zero-uncovered
+    guarantee; reference ``interpolation.py:98-121`` covers by
+    construction)."""
     import logging
 
     from myria3d_tpu.pctl.dataset.toy_dataset import write_synthetic_toy_las
@@ -87,16 +90,42 @@ def test_uncovered_points_warned(tmp_path, caplog):
 
     src = str(tmp_path / "tile.las")
     write_synthetic_toy_las(src, n_points=1000)
-    n = len(read_las(src).points)
+    pts = read_las(src).points
+    n = len(pts)
 
     itp = Interpolator(classification_dict=CLASSIFICATION_DICT)
-    half = n // 2
-    logits = np.ones((1, half, 3), np.float32)
-    itp.store_predictions(logits, [np.arange(half)])
-    with _propagating_log(), caplog.at_level(logging.WARNING):
-        itp.reduce_predictions_and_save(src, str(tmp_path / "out"))
+    # cover only the westernmost half of the tile, predicting "building"
+    order = np.argsort(pts["X"])
+    covered_idx = np.sort(order[: n // 2])
+    logits = np.zeros((1, len(covered_idx), 3), np.float32)
+    logits[0, :, 2] = 5.0  # class slot 2 = code 6 (building)
+    itp.store_predictions(logits, [covered_idx])
+    with _propagating_log(), caplog.at_level(logging.INFO):
+        out_path = itp.reduce_predictions_and_save(src, str(tmp_path / "out"))
     msgs = [r.message for r in caplog.records]
-    assert any("not covered" in m and f"{n - half}/{n}" in m for m in msgs)
+    assert any("not covered" in m and "nearest covered" in m for m in msgs)
+    out = read_las(out_path).points
+    # every point, covered or not, carries the covered half's class — no
+    # first-class-code default anywhere
+    assert np.all(out["PredictedClassification"] == 6)
+    # and the uncovered points' probabilities match a real softmax of the
+    # inherited logits, not the uniform default
+    ent = out["entropy"]
+    assert float(ent.max()) < 1.0  # uniform 3-class entropy would be ~1.099
+
+
+def test_all_points_uncovered_warns_and_defaults(tmp_path, caplog):
+    import logging
+
+    from myria3d_tpu.pctl.dataset.toy_dataset import write_synthetic_toy_las
+
+    src = str(tmp_path / "tile.las")
+    write_synthetic_toy_las(src, n_points=200)
+    itp = Interpolator(classification_dict=CLASSIFICATION_DICT)
+    with _propagating_log(), caplog.at_level(logging.WARNING):
+        out_path = itp.reduce_predictions_and_save(src, str(tmp_path / "out"))
+    assert any("No point" in r.message for r in caplog.records)
+    assert os.path.isfile(out_path)
 
 
 def test_reduce_and_save_las(tmp_path):

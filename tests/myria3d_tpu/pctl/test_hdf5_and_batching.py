@@ -167,3 +167,50 @@ def test_datamodule_end_to_end(toy_dataset_hdf5_path):
     # eval batches carry copies for interpolation
     val_batches = list(dm.val_dataloader())
     assert any("pos_copy" in c for batch in val_batches for c in batch.copies)
+
+
+def test_store_pread_fast_path_matches_h5py(toy_dataset_hdf5_path):
+    """The raw-pread read path must be byte-identical to the h5py read it
+    replaces (per-thread parallel reads; store.py read side)."""
+    from myria3d_tpu.pctl.dataset.store import HDF5SampleStore
+
+    store = HDF5SampleStore(toy_dataset_hdf5_path)
+    path = store.sample_paths()[0]
+    fast = store.read(path)
+    # datasets written by ingest_tile are contiguous -> pread path taken
+    assert all(
+        store._meta[path][1][n][0] is not None
+        for n in ("x", "pos", "y", "idx_in_original_cloud")
+    )
+    with h5py.File(toy_dataset_hdf5_path, "r") as f:
+        grp = f[path]
+        np.testing.assert_array_equal(fast["x"], grp["x"][...])
+        np.testing.assert_array_equal(fast["pos"], grp["pos"][...])
+        np.testing.assert_array_equal(fast["y"], grp["y"][...])
+        np.testing.assert_array_equal(
+            fast["idx_in_original_cloud"], grp["idx_in_original_cloud"][...]
+        )
+    assert fast["y"].dtype == np.int64
+    assert fast["x"].flags.writeable
+    store.close()
+
+
+def test_store_concurrent_reads_across_threads(toy_dataset_hdf5_path):
+    """N loader threads read through per-thread handles/fds without a shared
+    lock; results identical to serial reads, incl. after a close() bumping
+    the handle generation."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from myria3d_tpu.pctl.dataset.store import HDF5SampleStore
+
+    store = HDF5SampleStore(toy_dataset_hdf5_path)
+    paths = store.sample_paths() * 4
+    serial = [store.read(p)["pos"].sum() for p in paths]
+    store.close()  # threads must survive a generation bump
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        parallel = list(pool.map(lambda p: store.read(p)["pos"].sum(), paths))
+    np.testing.assert_allclose(serial, parallel)
+    # one fd/handle per participating thread, not per read
+    assert len(store._fds) <= 4
+    store.close()
+    assert store._fds == [] and store._h5_handles == []

@@ -115,3 +115,62 @@ def test_background_iterator_done_survives_full_queue():
 def test_collate_rejects_oversized_batch():
     with pytest.raises(ValueError):
         collate_padded([_sample(10)] * 3, batch_size=2)
+
+
+def test_background_iterator_close_reports_pending_error(caplog):
+    # A producer error that races a preemption close must not vanish
+    # silently (ADVICE r2): close() logs the discarded exception.
+    import logging
+    import time
+
+    def early_boom():
+        yield 1
+        raise RuntimeError("pipeline died")
+
+    it = BackgroundIterator(early_boom(), max_prefetch=2)
+    assert next(it) == 1
+    time.sleep(0.2)  # let the producer hit the error
+    with caplog.at_level(logging.WARNING, logger="myria3d_tpu.pctl.loader"):
+        assert it.close() is True
+    assert any("pipeline died" in r.message for r in caplog.records)
+
+
+def test_background_iterator_close_returns_false_on_stuck_producer(caplog):
+    # close() cannot interrupt a producer blocked inside the source
+    # iterator itself; it reports that by returning False (ADVICE r2).
+    import logging
+    import threading
+
+    release = threading.Event()
+
+    def stuck_source():
+        yield 1
+        release.wait(timeout=30)
+        yield 2
+
+    it = BackgroundIterator(stuck_source(), max_prefetch=2)
+    assert next(it) == 1
+    with caplog.at_level(logging.WARNING, logger="myria3d_tpu.pctl.loader"):
+        ok = it.close(timeout=0.2)
+    assert ok is False
+    assert any("still finishing" in r.message for r in caplog.records)
+    release.set()  # let the daemon thread exit before the test returns
+    it._thread.join(timeout=5)
+
+
+def test_background_iterator_error_not_double_logged(caplog):
+    # An error already re-raised to the consumer is not re-warned by the
+    # trainer's unconditional finally-close.
+    import logging
+
+    def boom():
+        yield 1
+        raise RuntimeError("boom-once")
+
+    it = BackgroundIterator(boom())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError):
+        next(it)
+    with caplog.at_level(logging.WARNING, logger="myria3d_tpu.pctl.loader"):
+        it.close()
+    assert not any("boom-once" in r.message for r in caplog.records)
