@@ -173,6 +173,89 @@ def convert_checkpoint_file(
     return model.save_checkpoint(out_dir, state)
 
 
+def golden_pyg_state_shapes(
+    num_features: int = 9, num_classes: int = 7
+) -> Dict[str, Tuple[int, ...]]:
+    """Every ``PyGRandLANet(num_features, num_classes)`` state_dict entry →
+    shape, hard-coded from the reference module definitions
+    (``pyg_randla_net.py:42-53`` net plan, ``:97-109`` SharedMLP=pyg MLP,
+    ``:112-119`` LocalFeatureAggregation, ``:155-177`` DilatedResidualBlock).
+    This is the convertibility contract with the shipped proto151
+    checkpoint; tests assert the flax export matches it exactly."""
+    d_b = max(32, num_classes, num_features)
+    shapes: Dict[str, Tuple[int, ...]] = {}
+
+    def linear(prefix, din, dout, bias=True):
+        shapes[f"{prefix}.weight"] = (dout, din)
+        if bias:
+            shapes[f"{prefix}.bias"] = (dout,)
+
+    def bn(prefix, d):
+        for leaf in ("weight", "bias", "running_mean", "running_var"):
+            shapes[f"{prefix}.{leaf}"] = (d,)
+
+    def mlp(prefix, chans, bias=True, norm=True):
+        for i, (a, b) in enumerate(zip(chans[:-1], chans[1:])):
+            linear(f"{prefix}.lins.{i}", a, b, bias=bias)
+            if norm:
+                bn(f"{prefix}.norms.{i}", b)
+
+    def lfa(prefix, channels):
+        mlp(f"{prefix}.mlp_encoder", [10, channels // 2])
+        mlp(f"{prefix}.mlp_attention", [channels, channels],
+            bias=False, norm=False)
+        mlp(f"{prefix}.mlp_post_attention", [channels, channels])
+
+    def block(prefix, d_in, d_out):
+        mlp(f"{prefix}.mlp1", [d_in, d_out // 8])
+        mlp(f"{prefix}.shortcut", [d_in, d_out])
+        mlp(f"{prefix}.mlp2", [d_out // 2, d_out])
+        lfa(f"{prefix}.lfa1", d_out // 4)
+        lfa(f"{prefix}.lfa2", d_out // 2)
+
+    linear("fc0", num_features, d_b)
+    block("block1", d_b, 32)
+    block("block2", 32, 128)
+    block("block3", 128, 256)
+    block("block4", 256, 512)
+    mlp("mlp_summit", [512, 512])
+    # Decoder FP inputs concat decoder features with the *decimated*
+    # previous-stage skips: 768/384/160/64 (reference pyg_randla_net.py:48-51,
+    # skips wired at :76-79).
+    mlp("fp4.nn", [768, 256])
+    mlp("fp3.nn", [384, 128])
+    mlp("fp2.nn", [160, 32])
+    mlp("fp1.nn", [64, d_b])
+    mlp("mlp_classif", [d_b, 64, 32])
+    linear("fc_classif", 32, num_classes)
+    return shapes
+
+
+def make_synthetic_lightning_checkpoint(
+    path: str, num_features: int = 9, num_classes: int = 7, seed: int = 0
+) -> str:
+    """Write a Lightning-style ``.ckpt`` with the exact reference
+    ``PyGRandLANet`` state_dict layout and random (but BN-valid) values —
+    the stand-in for the proto151 blob (absent upstream,
+    ``.MISSING_LARGE_BLOBS``) used by the parity-harness CI test."""
+    import torch
+
+    rng = np.random.default_rng(seed)
+    sd = {}
+    for key, shape in golden_pyg_state_shapes(num_features, num_classes).items():
+        if key.endswith("running_var"):
+            val = rng.uniform(0.5, 2.0, size=shape)  # rsqrt-safe
+        else:
+            val = rng.normal(0.0, 0.2, size=shape)
+        sd[f"model.{key}"] = torch.from_numpy(val.astype(np.float32))
+        if key.endswith("running_var"):
+            sd[f"model.{key.rsplit('.', 1)[0]}.num_batches_tracked"] = (
+                torch.tensor(7, dtype=torch.int64)
+            )
+    torch.save({"state_dict": sd, "epoch": 100}, path)
+    return path
+
+
 def main() -> None:
     import argparse
 

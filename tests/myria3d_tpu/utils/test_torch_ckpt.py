@@ -8,6 +8,7 @@ import numpy as np
 
 from myria3d_tpu.models.modules.randla_net import RandLANet
 from myria3d_tpu.utils.torch_ckpt import (
+    golden_pyg_state_shapes as _golden_pyg_state_shapes,
     convert_randlanet_state_dict,
     flax_to_torch_state_dict,
     strip_lightning_prefix,
@@ -59,60 +60,6 @@ def test_strip_lightning_prefix():
     sd = {"model.fc0.weight": np.zeros((2, 2)), "other": np.ones(3)}
     out = strip_lightning_prefix(sd)
     assert "fc0.weight" in out and "other" in out
-
-
-def _golden_pyg_state_shapes(num_features=9, num_classes=7):
-    """Every ``PyGRandLANet(num_features, num_classes)`` state_dict entry →
-    shape, hard-coded from the reference module definitions
-    (``pyg_randla_net.py:42-53`` net plan, ``:97-109`` SharedMLP=pyg MLP,
-    ``:112-119`` LocalFeatureAggregation, ``:155-177`` DilatedResidualBlock).
-    This is the convertibility contract with the shipped proto151 checkpoint."""
-    d_b = max(32, num_classes, num_features)
-    shapes = {}
-
-    def linear(prefix, din, dout, bias=True):
-        shapes[f"{prefix}.weight"] = (dout, din)
-        if bias:
-            shapes[f"{prefix}.bias"] = (dout,)
-
-    def bn(prefix, d):
-        for leaf in ("weight", "bias", "running_mean", "running_var"):
-            shapes[f"{prefix}.{leaf}"] = (d,)
-
-    def mlp(prefix, chans, bias=True, norm=True):
-        for i, (a, b) in enumerate(zip(chans[:-1], chans[1:])):
-            linear(f"{prefix}.lins.{i}", a, b, bias=bias)
-            if norm:
-                bn(f"{prefix}.norms.{i}", b)
-
-    def lfa(prefix, channels):
-        mlp(f"{prefix}.mlp_encoder", [10, channels // 2])
-        mlp(f"{prefix}.mlp_attention", [channels, channels], bias=False, norm=False)
-        mlp(f"{prefix}.mlp_post_attention", [channels, channels])
-
-    def block(prefix, d_in, d_out):
-        mlp(f"{prefix}.mlp1", [d_in, d_out // 8])
-        mlp(f"{prefix}.shortcut", [d_in, d_out])
-        mlp(f"{prefix}.mlp2", [d_out // 2, d_out])
-        lfa(f"{prefix}.lfa1", d_out // 4)
-        lfa(f"{prefix}.lfa2", d_out // 2)
-
-    linear("fc0", num_features, d_b)
-    block("block1", d_b, 32)
-    block("block2", 32, 128)
-    block("block3", 128, 256)
-    block("block4", 256, 512)
-    mlp("mlp_summit", [512, 512])
-    # Decoder FP inputs concat decoder features with the *decimated*
-    # previous-stage skips: 768/384/160/64 (reference pyg_randla_net.py:48-51,
-    # skips wired at :76-79).
-    mlp("fp4.nn", [768, 256])
-    mlp("fp3.nn", [384, 128])
-    mlp("fp2.nn", [160, 32])
-    mlp("fp1.nn", [64, d_b])
-    mlp("mlp_classif", [d_b, 64, 32])
-    linear("fc_classif", 32, num_classes)
-    return shapes
 
 
 def test_exported_state_dict_matches_reference_shapes():
