@@ -17,6 +17,7 @@ vs_baseline is against the 5 Mpts/s v5e-8 north star scaled to one chip
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import time
@@ -26,9 +27,31 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _pointnet2_model():
+    from myria3d_tpu.models.criterion import CrossEntropyLoss
+    from myria3d_tpu.models.model import Model
+
+    return Model(
+        neural_net_class_name="PointNet2",
+        neural_net_hparams=dict(
+            num_features=9, num_classes=7, return_logits=True,
+        ),
+        lr=0.001,
+        criterion=CrossEntropyLoss(ignore_index=65),
+    )
+
+
 def main() -> None:
     from __graft_entry__ import _flagship_model
     from myria3d_tpu.pctl.transforms.transforms import CopyFullPos, GridSampling
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--model", choices=("randlanet", "pointnet2"), default="randlanet",
+        help="zoo entry to benchmark (driver metric = default randlanet)",
+    )
+    ap.add_argument("--batch-size", type=int, default=None)
+    args_cli = ap.parse_args()
 
     smoke = bool(os.environ.get("MYRIA3D_BENCH_SMOKE"))
     B = 48         # subtiles per batch (measured sweep: 16/32/48 ->
@@ -40,6 +63,11 @@ def main() -> None:
     TRUE_FULL = 30_000  # raw points per subtile (~10 pulses/m² x 50 m²)
     if smoke:      # loop-logic validation on CPU (not a benchmark)
         B, N, M, TRUE_FULL = 2, 512, 1024, 900
+    if args_cli.model == "pointnet2" and not smoke:
+        B = 16     # PointNet++ grouped (B, M, K, C) tensors are wider than
+                   # the LFA's; B=48 HBM-overflows at the 12k bucket
+    if args_cli.batch_size:
+        B = args_cli.batch_size
 
     rng = np.random.default_rng(0)
     x = np.zeros((B, N, 9), np.float32)
@@ -68,7 +96,10 @@ def main() -> None:
         mapped = np.where(mapped < ns, mapped, -1)
         f2s[b, :TRUE_FULL] = mapped
 
-    model = _flagship_model()
+    model = (
+        _pointnet2_model() if args_cli.model == "pointnet2"
+        else _flagship_model()
+    )
     batch = {
         "x": jnp.asarray(x), "pos": jnp.asarray(pos),
         "y": jnp.zeros((B, N), jnp.int32), "mask": jnp.asarray(mask),
@@ -115,8 +146,9 @@ def main() -> None:
     full_pts_per_s = n_iters * B * TRUE_FULL / dt
     mpts = full_pts_per_s / 1e6
     baseline_per_chip = 5.0 / 8.0  # v5e-8 north star, per chip
+    suffix = "" if args_cli.model == "randlanet" else f"_{args_cli.model}"
     print(json.dumps({
-        "metric": "predict_device_throughput",
+        "metric": f"predict_device_throughput{suffix}",
         "value": round(mpts, 3),
         "unit": "Mpts/s/chip",
         "vs_baseline": round(mpts / baseline_per_chip, 3),

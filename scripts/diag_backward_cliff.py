@@ -58,7 +58,7 @@ def _batch(b, n, seed=0):
     }
 
 
-def _time(fn, args, iters=8, warmup=3):
+def _time(fn, args, iters=8, warmup=12):
     # fetch per iteration: through the tunneled backend block_until_ready
     # alone reports bogus times (docs/perf_notes.md)
     out = None

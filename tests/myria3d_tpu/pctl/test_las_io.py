@@ -125,6 +125,34 @@ def test_layered_laz_foreign_file_reads():
     assert data.header.point_format == 8
 
 
+def test_layered_laz_reencode_bitstream_identical_to_laszip():
+    """Re-encoding the foreign (PDAL/laszip-produced) layered LAZ's points
+    with the native codec reproduces laszip's compressed point block
+    BYTE-FOR-BYTE — chunk-table pointer, POINT14+RGBNIR14+BYTE14 layer
+    structure, raw first-point encoding, per-layer size table, and the
+    compressed chunk table all match the external producer exactly
+    (cross-validation of the layered container against a real laszip
+    bitstream; the entropy-model interiors of multi-point chunks remain
+    covered by round-trip tests)."""
+    from myria3d_tpu.pctl.io import las as L
+    from myria3d_tpu.pctl.native import laz_compress_points
+
+    path = "/root/reference/tests/data/single-point-cloud.laz"
+    header = L.read_las_header(path)
+    laszip = L._parse_laszip_vlr(header.vlrs)
+    assert laszip["compressor"] == 3
+    dt = L._packed_dtype(header)
+    raw = L._read_laz_points(path, header, dt)
+    items = [(t, s) for t, s, _v in laszip["items"]]
+    blob = laz_compress_points(
+        np.frombuffer(raw.tobytes(), np.uint8), header.point_count,
+        header._point_offset, laszip["chunk_size"], items, layered=True,
+    )
+    with open(path, "rb") as f:
+        original_block = f.read()[header._point_offset:]
+    assert blob == original_block
+
+
 # ---------------------------------------------------------------------------
 # LAZ (native LASzip codec, pointwise chunked, item version 2)
 # ---------------------------------------------------------------------------
