@@ -211,7 +211,11 @@ class HDF5LidarDataModule:
     def predict_dataloader(self) -> PaddedBatchLoader:
         return self._loader(self.predict_dataset, num_workers=1)
 
-    def _set_predict_data(self, las_file_to_predict: str) -> None:
+    def _set_predict_data(self, las_file_to_predict: str, points=None) -> None:
+        """``points`` optionally hands the already-read tile array over so
+        the inference stream skips its own full-tile read (the predict
+        pipeline reads the tile exactly once for the stream, the overlap
+        merge, and the output ferry)."""
         self.predict_dataset = InferenceDataset(
             las_file_to_predict,
             self.epsg,
@@ -221,6 +225,7 @@ class HDF5LidarDataModule:
             tile_width=self.tile_width,
             subtile_width=self.subtile_width,
             subtile_overlap=self.subtile_overlap_predict,
+            points=points,
         )
 
     def _visualize_graph(self, data: dict, color: Optional[str] = None) -> None:

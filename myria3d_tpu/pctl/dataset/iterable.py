@@ -33,6 +33,7 @@ class InferenceDataset(TileSampleStream):
         subtile_width: Number = 50,
         subtile_overlap: Number = 0,
         workers: int = 3,
+        points=None,
     ):
         super().__init__(
             las_file,
@@ -44,6 +45,7 @@ class InferenceDataset(TileSampleStream):
             pre_filter=pre_filter,
             transform=transform,
             workers=workers,
+            points=points,
         )
 
     # kept for callers that iterate explicitly (reference API)

@@ -22,14 +22,35 @@ log = utils.get_logger(__name__)
 
 
 @utils.eval_time
-def predict(config) -> Optional[str]:
-    """Predict on a single LAS file and return the output path."""
+def predict(config, phases: Optional[dict] = None) -> Optional[str]:
+    """Predict on a single LAS file and return the output path.
+
+    ``phases``, when given, is filled with wall-clock phase timings
+    (tile read, streaming, fetch-blocked share, merge+write) — the
+    machine-readable attribution behind ``bench_e2e.py``'s phase table.
+    """
+    import time
+
     src_las = config["predict"]["src_las"]
     output_dir = config["predict"]["output_dir"]
     ckpt_path = config["predict"]["ckpt_path"]
 
+    # Read the tile exactly ONCE, at its original dtypes: the inference
+    # stream crops/cooks from the in-memory array, the Interpolator merges
+    # into a preallocated plane sized by its point count, and the output
+    # ferry reuses the same records (the reference reads the tile twice —
+    # once in the InferenceDataset, once in the PDAL update pipeline,
+    # ``myria3d/models/interpolation.py:139,176``).
+    from myria3d_tpu.pctl.dataset.utils import read_las_array
+
+    t_read0 = time.perf_counter()
+    tile_points, tile_header = read_las_array(
+        src_las, config["datamodule"].get("epsg")
+    )
+    t_read = time.perf_counter() - t_read0
+
     datamodule = instantiate(config["datamodule"])
-    datamodule._set_predict_data(src_las)
+    datamodule._set_predict_data(src_las, points=tile_points)
 
     model, state = Model.load_from_checkpoint(ckpt_path)
     rng = jax.random.PRNGKey(int(config.get("seed", 12345)))
@@ -50,6 +71,7 @@ def predict(config) -> Optional[str]:
         log.info(f"Predicting data-parallel over {par.mesh.devices.size} devices")
 
     itp = instantiate(config["predict"]["interpolator"])
+    itp.prepare(len(tile_points), points=tile_points, header=tile_header)
 
     # default False matches configs/predict/default.yaml: the graph-reuse
     # path is approximate and opt-in
@@ -67,9 +89,11 @@ def predict(config) -> Optional[str]:
     # dispatch is async, so batch i's device compute + D2H run while the
     # host uploads and dispatches batch i+1 (the reference streams batches
     # through Lightning's predict loop, which fetches synchronously).
-    import time
-
+    # The overlap MERGE also happens here: store_predictions scatter-adds
+    # straight into the prepared (nb_points, C) plane, so the former
+    # merge tail is amortized into the streaming loop.
     t_stream0 = time.perf_counter()
+    t_fetch = 0.0
     pending = deque()
     n_batches = 0
     for batch in BackgroundIterator(datamodule.predict_dataloader(), max_prefetch=2):
@@ -104,19 +128,33 @@ def predict(config) -> Optional[str]:
         pending.append((full_logits, batch.idx_in_original_cloud))
         n_batches += 1
         if len(pending) > 1:
+            t0 = time.perf_counter()
             itp.store_predictions(*pending.popleft())
+            t_fetch += time.perf_counter() - t0
     while pending:
+        t0 = time.perf_counter()
         itp.store_predictions(*pending.popleft())
+        t_fetch += time.perf_counter() - t0
     t_stream = time.perf_counter() - t_stream0
 
     t_reduce0 = time.perf_counter()
     out_path = itp.reduce_predictions_and_save(
         src_las, output_dir, config["datamodule"].get("epsg")
     )
+    t_reduce = time.perf_counter() - t_reduce0
     log.info(
-        f"predict phases: streaming {t_stream:.1f}s over {n_batches} "
-        f"batches ({t_stream / max(n_batches, 1):.2f}s/batch incl. host "
-        f"prep + H2D + device + D2H), merge+write "
-        f"{time.perf_counter() - t_reduce0:.1f}s"
+        f"predict phases: tile read {t_read:.1f}s; streaming {t_stream:.1f}s "
+        f"over {n_batches} batches ({t_stream / max(n_batches, 1):.2f}s/batch "
+        f"incl. host prep + H2D + device + D2H + overlap merge, of which "
+        f"{t_fetch:.1f}s blocked on fetch+merge), finalize+write "
+        f"{t_reduce:.1f}s"
     )
+    if phases is not None:
+        phases.update(
+            tile_read_s=round(t_read, 2),
+            streaming_s=round(t_stream, 2),
+            fetch_merge_blocked_s=round(t_fetch, 2),
+            n_batches=n_batches,
+            finalize_write_s=round(t_reduce, 2),
+        )
     return out_path

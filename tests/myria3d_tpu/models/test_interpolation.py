@@ -54,6 +54,55 @@ def test_merge_handles_duplicate_and_unsorted_indices():
     np.testing.assert_allclose(merged[2], [0, 0, 0])
 
 
+def test_prepared_incremental_merge_matches_deferred():
+    """prepare(nb_points) switches to scatter-as-batches-arrive; the merged
+    plane must be bit-identical to the deferred list-then-reduce path."""
+    rng = np.random.default_rng(7)
+    n, c = 50, 3
+    batches = []
+    for lo, hi in [(0, 20), (10, 35), (30, 50), (5, 15)]:
+        idx = np.arange(lo, hi)
+        batches.append((rng.normal(size=(1, len(idx), c)).astype(np.float32), [idx]))
+
+    legacy = Interpolator(classification_dict=CLASSIFICATION_DICT)
+    for logits, idx in batches:
+        legacy.store_predictions(logits, idx)
+    expected = legacy.reduce_predicted_logits(n)
+
+    inc = Interpolator(classification_dict=CLASSIFICATION_DICT)
+    inc.prepare(n)
+    for logits, idx in batches:
+        inc.store_predictions(logits, idx)
+    np.testing.assert_array_equal(inc.reduce_predicted_logits(n), expected)
+    # nothing stashed: the incremental path never holds per-batch logits
+    assert inc.logits == [] and inc.idx_in_full_cloud == []
+
+
+def test_prepared_save_uses_handed_over_points(tmp_path):
+    """prepare(points=..., header=...) skips the re-read and still writes a
+    correct LAS; state resets for the next tile."""
+    from myria3d_tpu.pctl.dataset.toy_dataset import write_synthetic_toy_las
+    from myria3d_tpu.pctl.dataset.utils import read_las_array
+    from myria3d_tpu.pctl.io.las import read_las
+
+    src = str(tmp_path / "tile.las")
+    write_synthetic_toy_las(src, n_points=500)
+    points, header = read_las_array(src, epsg=None)
+    n = len(points)
+
+    itp = Interpolator(classification_dict=CLASSIFICATION_DICT)
+    itp.prepare(n, points=points, header=header)
+    logits = np.zeros((1, n, 3), np.float32)
+    logits[0, :, 1] = 2.0  # everything "ground" (code 2)
+    itp.store_predictions(logits, [np.arange(n)])
+    # pass a bogus path: with handed-over points it must never be re-read
+    out_path = itp.reduce_predictions_and_save(src, str(tmp_path / "out"))
+    out = read_las(out_path).points
+    assert len(out) == n
+    assert np.all(out["PredictedClassification"] == 2)
+    assert itp._nb_points is None and itp._points is None  # reset
+
+
 def test_store_predictions_truncates_to_idx_length():
     itp = Interpolator(classification_dict=CLASSIFICATION_DICT)
     logits = np.zeros((2, 10, 3), np.float32)  # padded to 10
