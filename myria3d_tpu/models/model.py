@@ -63,6 +63,7 @@ class Model:
         classification_dict: Optional[Dict[int, str]] = None,
         ckpt_path: Optional[str] = None,
         accumulate_grad_batches: int = 1,
+        grad_microbatch: int = 0,
         **kwargs: Any,
     ):
         self.neural_net_class_name = neural_net_class_name
@@ -80,6 +81,11 @@ class Model:
         self.interpolation_k = int(interpolation_k)
         self.criterion = criterion if criterion is not None else CrossEntropyLoss()
         self.ckpt_path = ckpt_path
+        # 0 = monolithic backward; k>0 = scan the fwd/bwd over k-cloud
+        # microbatches when k divides the batch (large-batch cliff cure —
+        # see build_grad_step). Distinct from accumulate_grad_batches,
+        # which spreads the OPTIMIZER update over several loader batches.
+        self.grad_microbatch = int(grad_microbatch or 0)
 
         optimizer_factory = optimizer if optimizer is not None else adam
         tx = optimizer_factory(lr=self.lr)
@@ -147,12 +153,25 @@ class Model:
         logits) — the forward/backward WITHOUT the optimizer update.
         Building block for custom reductions (e.g. the local-BN
         data-parallel step pmean-reduces grads/stats across shards before
-        one shared optimizer update, ``parallel/mesh.py``)."""
+        one shared optimizer update, ``parallel/mesh.py``).
 
-        def step(state: TrainState, x, pos, y, mask, rng):
-            step_rng = jax.random.fold_in(rng, state.step)
-            dec_rng, drop_rng = jax.random.split(step_rng)
+        When ``grad_microbatch`` divides the batch into k > 1 chunks, the
+        backward runs as a ``lax.scan`` over <=``grad_microbatch``-cloud
+        microbatches with gradient/stat averaging. This sidesteps the
+        measured large-batch backward cliff on TPU: at B>=32 the monolithic
+        backward's per-point cost nearly doubles (B=32: 2974 ns/pt vs
+        B=16: 1621) while the compiled HLO stays per-cloud identical
+        across B — a runtime scheduling/locality effect once the LFA
+        softmax intermediates reach ~400 MB per tensor — and the same 32
+        clouds as 2x16 scanned microbatches run at 1483 ns/pt (2.0x the
+        monolithic step; measured v5e, docs/perf_notes.md round 3).
+        Semantics match the reference's multi-GPU DDP regime
+        (``RandLaNet_base_run_FR-2x3GPUs.yaml``): per-microbatch BN
+        moments (averaged into the EMA) and mean-of-microbatch losses.
+        """
+        mb = int(self.grad_microbatch or 0)
 
+        def single(state: TrainState, x, pos, y, mask, dec_rng, drop_rng):
             def loss_fn(params):
                 logits, updates = self._apply(
                     params, state.batch_stats, x, pos, mask,
@@ -168,6 +187,52 @@ class Model:
             )(state.params)
             return loss, grads, new_stats, logits
 
+        def step(state: TrainState, x, pos, y, mask, rng):
+            step_rng = jax.random.fold_in(rng, state.step)
+            dec_rng, drop_rng = jax.random.split(step_rng)
+            batch = x.shape[0]
+            if mb <= 0 or batch <= mb or batch % mb != 0:
+                return single(state, x, pos, y, mask, dec_rng, drop_rng)
+
+            k = batch // mb
+
+            def chunk(a):
+                return a.reshape((k, mb) + a.shape[1:])
+
+            def body(carry, xs_i):
+                loss_sum, grad_sum, stat_sum = carry
+                xi, pi, yi, mi, i = xs_i
+                loss, grads, stats, logits = single(
+                    state, xi, pi, yi, mi,
+                    jax.random.fold_in(dec_rng, i),
+                    jax.random.fold_in(drop_rng, i),
+                )
+                carry = (
+                    loss_sum + loss,
+                    jax.tree_util.tree_map(jnp.add, grad_sum, grads),
+                    jax.tree_util.tree_map(jnp.add, stat_sum, stats),
+                )
+                return carry, logits
+
+            init = (
+                jnp.zeros((), jnp.float32),
+                jax.tree_util.tree_map(jnp.zeros_like, state.params),
+                jax.tree_util.tree_map(jnp.zeros_like, state.batch_stats),
+            )
+            (loss_sum, grad_sum, stat_sum), logits = jax.lax.scan(
+                body,
+                init,
+                (chunk(x), chunk(pos), chunk(y), chunk(mask), jnp.arange(k)),
+            )
+            inv = 1.0 / k
+            mean = lambda t: jax.tree_util.tree_map(lambda a: a * inv, t)
+            return (
+                loss_sum * inv,
+                mean(grad_sum),
+                mean(stat_sum),
+                logits.reshape((batch,) + logits.shape[2:]),
+            )
+
         return step
 
     def build_train_step(self) -> Callable:
@@ -175,23 +240,12 @@ class Model:
         logits) — un-jitted, for wrapping with jit or mesh-sharded jit
         (``myria3d_tpu.parallel``)."""
 
+        grad_step = self.build_grad_step()
+
         def step(state: TrainState, x, pos, y, mask, rng, lr_mult=None):
-            step_rng = jax.random.fold_in(rng, state.step)
-            dec_rng, drop_rng = jax.random.split(step_rng)
-
-            def loss_fn(params):
-                logits, updates = self._apply(
-                    params, state.batch_stats, x, pos, mask,
-                    train=True,
-                    rngs={"decimation": dec_rng, "dropout": drop_rng},
-                    mutable=["batch_stats"],
-                )
-                loss = self.criterion(logits, y)
-                return loss, (logits, updates["batch_stats"])
-
-            (loss, (logits, new_stats)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params)
+            loss, grads, new_stats, logits = grad_step(
+                state, x, pos, y, mask, rng
+            )
             updates, new_opt_state = self.tx.update(
                 grads, state.opt_state, state.params
             )

@@ -36,7 +36,7 @@ from myria3d_tpu.models.model import Model
 D_IN, C = 9, 7
 
 
-def _model(remat=False):
+def _model(remat=False, microbatch=0):
     return Model(
         neural_net_class_name="RandLANet",
         neural_net_hparams=dict(
@@ -45,6 +45,7 @@ def _model(remat=False):
         ),
         lr=0.004,
         criterion=CrossEntropyLoss(ignore_index=65),
+        grad_microbatch=microbatch,
     )
 
 
@@ -87,13 +88,17 @@ def main():
     ap.add_argument("--n", type=int, default=12288)
     ap.add_argument("--bs", default="8,16,24,32")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--microbatch", type=int, default=0,
+                    help="grad_microbatch k — the measured cure: the "
+                    "fwd/bwd scans k-cloud microbatches (docs/perf_notes.md"
+                    " round 3; B=32 2913->1416 ns/pt with k=16)")
     ap.add_argument("--census", action="store_true",
                     help="also dump the optimized-HLO op census (slow text)")
     args = ap.parse_args()
     bs = [int(x) for x in args.bs.split(",")]
     n = args.n
 
-    model = _model(remat=args.remat)
+    model = _model(remat=args.remat, microbatch=args.microbatch)
     state0 = model.init_state(jax.random.PRNGKey(0), _batch(2, 256))
     rng = jax.random.PRNGKey(1)
 
