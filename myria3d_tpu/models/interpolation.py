@@ -75,7 +75,22 @@ class Interpolator:
         probas_to_save: Optional[Union[List[str], str]] = "all",
         predicted_classification_channel: Optional[str] = "PredictedClassification",
         entropy_channel: Optional[str] = "entropy",
+        uncovered_policy: str = "keep",
     ):
+        # What happens to points no subtile predicted (artefacts dropped by
+        # DropPointsByClass + points of dropped small areas):
+        #   "keep"    — reference parity (interpolation.py:155-170 NB notes):
+        #               null probas, null entropy, PredictedClassification
+        #               keeps the point's ORIGINAL class code.
+        #   "nearest" — inherit every channel from the nearest covered
+        #               neighbor (opt-in spatial closure; costs one cKDTree
+        #               query over the residue at save time).
+        if uncovered_policy not in ("keep", "nearest"):
+            raise ValueError(
+                f"uncovered_policy must be 'keep' or 'nearest', got "
+                f"{uncovered_policy!r}"
+            )
+        self.uncovered_policy = uncovered_policy
         self.k = interpolation_k
         self.classification_dict = classification_dict
         # consecutive model index -> original class code
@@ -199,12 +214,12 @@ class Interpolator:
         nb_points = len(points)
         logits = self.reduce_predicted_logits(nb_points)
 
-        # Coverage closure: points never reached by any subtile keep zero
-        # logits and would silently argmax to the first class — the
-        # reference covers 100% by construction (interpolation.py:98-121),
-        # so match it by assigning each uncovered point the merged logits
-        # of its nearest covered neighbor (boundary residue only appears at
-        # subtile_overlap=0 edge effects and is <1% of the tile).
+        # Uncovered points = artefacts dropped by DropPointsByClass + points
+        # of subtiles dropped as too small. The reference leaves them at
+        # null probas / null entropy / their ORIGINAL class code
+        # (interpolation.py:155-170, explicit NB comments) — that is the
+        # default "keep" policy; "nearest" opts into spatial closure from
+        # the nearest covered neighbor instead.
         if self._covered is not None:
             covered = self._covered
         else:
@@ -212,53 +227,62 @@ class Interpolator:
             for idx in self.idx_in_full_cloud:
                 covered[idx] = True
         n_uncovered = int(nb_points - covered.sum())
+        uncov = None
         if n_uncovered == nb_points:
             log.warning(
                 "No point of the tile was covered by any subtile prediction;"
-                " outputs default to the first class code with uniform"
-                " probabilities."
+                " the output carries source classes and null probabilities."
             )
+            uncov = np.arange(nb_points)
         elif n_uncovered:
             log.info(
                 f"{n_uncovered}/{nb_points} points "
-                f"({100.0 * n_uncovered / nb_points:.2f}%) were not covered "
-                "by any subtile prediction; assigning each its nearest "
-                "covered neighbor's logits."
+                f"({100.0 * n_uncovered / nb_points:.2f}%) have no subtile "
+                "prediction (dropped artefact classes and/or dropped small "
+                f"areas); policy '{self.uncovered_policy}' applies."
             )
-            src = _nearest_covered(points, covered)
-            uncov = np.flatnonzero(~covered)
-            logits[uncov] = logits[src]
+            if self.uncovered_policy == "nearest" and n_uncovered < nb_points:
+                src = _nearest_covered(points, covered)
+                uncov = np.flatnonzero(~covered)
+                logits[uncov] = logits[src]
+                uncov = None  # closed — treat as covered downstream
+            else:
+                uncov = np.flatnonzero(~covered)
 
         # numerically-stable softmax
         m = logits.max(axis=1, keepdims=True)
         e = np.exp(logits - m)
-        probas = e / e.sum(axis=1, keepdims=True)
+        z = e.sum(axis=1, keepdims=True)
+        probas = e / z
+        if uncov is not None:
+            probas[uncov] = 0.0  # reference: null probabilities
 
-        extra_fields = []
+        extra_columns: Dict[str, np.ndarray] = {}
         class_names = list(self.classification_dict.values())
         for name in self.probas_to_save:
             ci = class_names.index(name)
-            extra_fields.append((name, np.float32, probas[:, ci]))
+            extra_columns[name] = probas[:, ci]
         if self.predicted_classification_channel:
             preds = self.reverse_mapper[np.argmax(probas, axis=1)]
-            extra_fields.append(
-                (self.predicted_classification_channel, np.uint8,
-                 preds.astype(np.uint8))
-            )
+            preds = preds.astype(np.uint8)
+            if uncov is not None and "Classification" in (
+                points.dtype.names or ()
+            ):
+                # reference: unpredicted points keep their original class
+                preds[uncov] = points["Classification"][uncov].astype(np.uint8)
+            extra_columns[self.predicted_classification_channel] = preds
         if self.entropy_channel:
-            with np.errstate(divide="ignore", invalid="ignore"):
-                ent = -np.sum(probas * np.log(np.clip(probas, 1e-12, None)), axis=1)
-            extra_fields.append((self.entropy_channel, np.float32, ent.astype(np.float32)))
-
-        # ferry the new dims next to the original points
-        new_dt = np.dtype(
-            points.dtype.descr + [(n, np.dtype(d).str) for n, d, _ in extra_fields]
-        )
-        out = np.zeros(nb_points, dtype=new_dt)
-        for name in points.dtype.names:
-            out[name] = points[name]
-        for name, _, values in extra_fields:
-            out[name] = values
+            # H = log Z + max - sum(p * logit): one log over N instead of
+            # N x C (same value as -sum p log p, exact up to fp assoc)
+            ent = (
+                np.log(z[:, 0])
+                + m[:, 0]
+                - np.einsum("nc,nc->n", probas, logits)
+            ).astype(np.float32)
+            np.maximum(ent, 0.0, out=ent)  # clip fp negatives at one-hot
+            if uncov is not None:
+                ent[uncov] = 0.0  # reference: null entropy
+            extra_columns[self.entropy_channel] = ent
 
         os.makedirs(output_dir, exist_ok=True)
         out_path = os.path.join(output_dir, os.path.basename(raw_path))
@@ -266,10 +290,15 @@ class Interpolator:
         # predict.resume can trust it (a preemption mid-write leaves only
         # the temp file, overwritten on the redo). The temp name keeps the
         # original suffix — write_las picks LAZ compression by extension.
+        # The new dims ride as extra_columns so no intermediate widened
+        # record array is ever built (one less full-tile strided ferry).
         tmp_path = os.path.join(
             output_dir, ".tmp." + os.path.basename(raw_path)
         )
-        write_las(tmp_path, out, header=header, extra_dims="all")
+        write_las(
+            tmp_path, points, header=header, extra_dims="all",
+            extra_columns=extra_columns,
+        )
         os.replace(tmp_path, out_path)
         log.info(f"Predictions written to {out_path}")
 

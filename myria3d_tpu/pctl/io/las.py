@@ -541,6 +541,7 @@ def write_las(
     points: np.ndarray,
     header: Optional[LasHeader] = None,
     extra_dims: str = "all",
+    extra_columns: Optional[Dict[str, np.ndarray]] = None,
 ) -> None:
     """Write a PDAL-style named array to a LAS file.
 
@@ -551,6 +552,12 @@ def write_las(
             reproducing PDAL's writer-params-from-reader-metadata behaviour
             (reference ``myria3d/models/interpolation.py:88-91``).
         extra_dims: "all" writes any non-standard fields as extra-bytes dims.
+        extra_columns: additional extra-bytes dims as plain arrays (len ==
+            len(points)), written after the points' own non-standard fields
+            in insertion order. A name colliding with a points field
+            overrides it — the column wins. Lets callers add derived
+            channels (probas/classes/entropy) without first building a
+            widened record array (one less full-tile strided copy).
     """
     if header is None:
         header = LasHeader()
@@ -561,14 +568,23 @@ def write_las(
     }
     std_names -= {"X_raw", "Y_raw", "Z_raw", "flags", "returns", "raw_classification"}
 
+    extra_columns = extra_columns or {}
     new_extra: List[ExtraDim] = []
     if extra_dims == "all":
         for name in points.dtype.names or ():
-            if name not in std_names:
+            if name not in std_names and name not in extra_columns:
                 d = points.dtype[name]
                 if d.kind == "V":
                     continue
                 new_extra.append(ExtraDim(name, d))
+    for name, values in extra_columns.items():
+        values = np.asarray(values)
+        if len(values) != len(points):
+            raise ValueError(
+                f"extra column {name!r} has {len(values)} values for "
+                f"{len(points)} points"
+            )
+        new_extra.append(ExtraDim(name, values.dtype))
 
     fields = list(_FMT_FIELDS[fmt]) + [(d.name, d.dtype.str) for d in new_extra]
     dt = np.dtype(fields)
@@ -609,7 +625,10 @@ def write_las(
         ):
             raw[name] = points[name]
     for d in new_extra:
-        raw[d.name] = points[d.name].astype(d.dtype)
+        if d.name in extra_columns:
+            raw[d.name] = np.asarray(extra_columns[d.name]).astype(d.dtype)
+        else:
+            raw[d.name] = points[d.name].astype(d.dtype)
 
     # VLRs: carry over source VLRs, replacing any existing extra-bytes VLR
     # with one describing the dims actually written, and dropping any stale

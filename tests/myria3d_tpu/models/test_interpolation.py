@@ -128,10 +128,9 @@ def test_store_predictions_warns_when_cloud_exceeds_bucket(caplog):
 
 
 def test_uncovered_points_closed_by_nearest_covered(tmp_path, caplog):
-    """Points never covered by any subtile inherit their nearest covered
-    neighbor's logits — 100% coverage like the reference (zero-uncovered
-    guarantee; reference ``interpolation.py:98-121`` covers by
-    construction)."""
+    """``uncovered_policy="nearest"`` (opt-in): points never covered by any
+    subtile inherit their nearest covered neighbor's logits — zero-uncovered
+    spatial closure."""
     import logging
 
     from myria3d_tpu.pctl.dataset.toy_dataset import write_synthetic_toy_las
@@ -142,7 +141,9 @@ def test_uncovered_points_closed_by_nearest_covered(tmp_path, caplog):
     pts = read_las(src).points
     n = len(pts)
 
-    itp = Interpolator(classification_dict=CLASSIFICATION_DICT)
+    itp = Interpolator(
+        classification_dict=CLASSIFICATION_DICT, uncovered_policy="nearest"
+    )
     # cover only the westernmost half of the tile, predicting "building"
     order = np.argsort(pts["X"])
     covered_idx = np.sort(order[: n // 2])
@@ -152,7 +153,7 @@ def test_uncovered_points_closed_by_nearest_covered(tmp_path, caplog):
     with _propagating_log(), caplog.at_level(logging.INFO):
         out_path = itp.reduce_predictions_and_save(src, str(tmp_path / "out"))
     msgs = [r.message for r in caplog.records]
-    assert any("not covered" in m and "nearest covered" in m for m in msgs)
+    assert any("no subtile prediction" in m and "'nearest'" in m for m in msgs)
     out = read_las(out_path).points
     # every point, covered or not, carries the covered half's class — no
     # first-class-code default anywhere
@@ -161,6 +162,45 @@ def test_uncovered_points_closed_by_nearest_covered(tmp_path, caplog):
     # inherited logits, not the uniform default
     ent = out["entropy"]
     assert float(ent.max()) < 1.0  # uniform 3-class entropy would be ~1.099
+
+
+def test_uncovered_points_keep_policy_reference_parity(tmp_path):
+    """Default ``uncovered_policy="keep"``: unpredicted points carry their
+    ORIGINAL class code with null probas and null entropy — the reference's
+    explicit behavior for artefacts/dropped areas
+    (``interpolation.py:155-170``)."""
+    from myria3d_tpu.pctl.dataset.toy_dataset import write_synthetic_toy_las
+    from myria3d_tpu.pctl.io.las import read_las
+
+    src = str(tmp_path / "tile.las")
+    write_synthetic_toy_las(src, n_points=1000)
+    pts = read_las(src).points
+    n = len(pts)
+
+    itp = Interpolator(classification_dict=CLASSIFICATION_DICT)
+    covered_idx = np.arange(n // 2)  # first half covered
+    logits = np.zeros((1, len(covered_idx), 3), np.float32)
+    logits[0, :, 2] = 5.0  # class slot 2 = code 6 (building)
+    itp.store_predictions(logits, [covered_idx])
+    out_path = itp.reduce_predictions_and_save(src, str(tmp_path / "out"))
+    out = read_las(out_path).points
+    cov = np.zeros(n, bool)
+    cov[covered_idx] = True
+    # covered points predicted; uncovered keep their source class
+    assert np.all(out["PredictedClassification"][cov] == 6)
+    np.testing.assert_array_equal(
+        out["PredictedClassification"][~cov],
+        pts["Classification"][~cov].astype(np.uint8),
+    )
+    # null probas and entropy on the uncovered half
+    for ch in ("unclassified", "ground", "building"):
+        assert np.all(out[ch][~cov] == 0.0)
+    assert np.all(out["entropy"][~cov] == 0.0)
+    # covered half has a real distribution
+    probas = np.stack(
+        [out[ch][cov] for ch in ("unclassified", "ground", "building")], -1
+    )
+    np.testing.assert_allclose(probas.sum(-1), 1.0, atol=1e-5)
 
 
 def test_all_points_uncovered_warns_and_defaults(tmp_path, caplog):

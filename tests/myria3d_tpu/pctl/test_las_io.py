@@ -457,3 +457,39 @@ def test_laz_corrupt_streams_fail_loudly(tmp_path):
         except (ValueError, RuntimeError, NotImplementedError):
             failures += 1
     assert failures >= trials // 3  # truncations/table damage must raise
+
+
+def test_extra_columns_passthrough(tmp_path):
+    """``extra_columns`` writes derived channels without a widened record
+    array, equivalent to pre-merging them into the points; a colliding
+    name overrides the points' own field."""
+    pts = _synthetic_points(300)
+    import numpy.lib.recfunctions as rfn
+
+    stale = np.zeros(300, np.float32)
+    pts_with_stale = rfn.append_fields(pts, "entropy", stale, usemask=False)
+    cols = {
+        "building": np.random.rand(300).astype(np.float32),
+        "PredictedClassification": np.random.choice([1, 2, 6], 300).astype(np.uint8),
+        "entropy": np.random.rand(300).astype(np.float32),  # overrides stale
+    }
+    path = str(tmp_path / "cols.las")
+    write_las(
+        path, pts_with_stale,
+        LasHeader(point_format=3, offsets=(862000.0, 6652000.0, 0.0)),
+        extra_columns=cols,
+    )
+    out = read_las(path).points
+    names = out.dtype.names
+    assert [n for n in names if n in cols] == list(cols)
+    for name, vals in cols.items():
+        np.testing.assert_array_equal(out[name], vals)
+    # wrong length fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="extra column"):
+        write_las(
+            str(tmp_path / "bad.las"), pts,
+            LasHeader(point_format=3, offsets=(862000.0, 6652000.0, 0.0)),
+            extra_columns={"oops": np.zeros(5, np.float32)},
+        )

@@ -125,16 +125,29 @@ def test_predict_las_invariance(
     assert "entropy" in names
     for class_name in ("ground", "vegetation", "building"):
         assert class_name in names
-    # predicted codes are valid original class codes
-    valid_codes = {1, 2, 5, 6, 9, 17, 64}
+    # predicted codes are valid original class codes; artefact points
+    # (class 65, dropped by DropPointsByClass) keep their original code
+    # with null probabilities — reference parity (interpolation.py:155-170)
+    valid_codes = {1, 2, 5, 6, 9, 17, 64, 65}
     assert set(np.unique(out.points["PredictedClassification"])) <= valid_codes
-    # probabilities sum to ~1
     proba_sum = sum(
         np.asarray(out.points[c], np.float64)
         for c in ("unclassified", "ground", "vegetation", "building",
                   "water", "bridge", "lasting_above")
     )
-    np.testing.assert_allclose(proba_sum, 1.0, atol=1e-4)
+    predicted = proba_sum > 0.5
+    np.testing.assert_allclose(proba_sum[predicted], 1.0, atol=1e-4)
+    np.testing.assert_allclose(proba_sum[~predicted], 0.0, atol=1e-6)
+    assert predicted.mean() > 0.9  # the bulk of the tile is predicted
+    if (~predicted).any():
+        # unpredicted points keep original class + null entropy
+        assert np.all(out.points["entropy"][~predicted] == 0.0)
+        np.testing.assert_array_equal(
+            out.points["PredictedClassification"][~predicted],
+            np.asarray(src.points["Classification"][~predicted], np.uint8),
+        )
+    # artefacts never receive a model prediction
+    assert np.all(~predicted[src.points["Classification"] == 65])
 
 
 def test_predict_with_subtile_overlap(
