@@ -186,20 +186,24 @@ def main() -> None:
         # predict()'s own wall-clock attribution: tile_read_s (single read,
         # shared by stream/merge/write), streaming_s (host cook + H2D +
         # device + D2H + incremental overlap merge, pipelined),
-        # fetch_merge_blocked_s (the consumer-side share of streaming spent
-        # blocked on logits fetch + scatter-merge), finalize_write_s.
+        # fetch_blocked_s (D2H logits transfer — tunnel-dominated here,
+        # ~negligible on PCIe), merge_s (host scatter-merge),
+        # finalize_write_s.
         **predict_phases,
     }
     # v5e-8 host projection (see docs/perf_notes.md "e2e projection"):
-    # streaming splits over 8 chips and its host share threads across the
-    # production host's cores; read/write are thread-parallel in the codec
-    # but kept serial here (conservative). The measured single-core,
-    # single-chip, tunnel-attached phases are the worst case of each term.
+    # the per-batch device+H2D work splits over 8 chips via the
+    # data-parallel predict path (linear, MULTICHIP-dryrun-validated);
+    # the D2H fetch term is excluded (tunnel artifact — PCIe moves the
+    # f16 logits at GB/s); the host scatter-merge stays serial, as do
+    # read and finalize (conservative: both are thread-parallelizable).
     proj_s = (
         phases.get("tile_read_s", t_read)
         + max(
-            phases.get("streaming_s", t_total) / 8.0,
-            phases.get("fetch_merge_blocked_s", 0.0),
+            (phases.get("streaming_s", t_total)
+             - phases.get("fetch_blocked_s", 0.0)
+             - phases.get("merge_s", 0.0)) / 8.0,
+            phases.get("merge_s", 0.0),
         )
         + phases.get("finalize_write_s", 0.0)
     )

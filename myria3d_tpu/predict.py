@@ -92,10 +92,24 @@ def predict(config, phases: Optional[dict] = None) -> Optional[str]:
     # The overlap MERGE also happens here: store_predictions scatter-adds
     # straight into the prepared (nb_points, C) plane, so the former
     # merge tail is amortized into the streaming loop.
+    import numpy as np
+
     t_stream0 = time.perf_counter()
     t_fetch = 0.0
+    t_merge = 0.0
     pending = deque()
     n_batches = 0
+
+    def _drain(itp):
+        nonlocal t_fetch, t_merge
+        logits_dev, idx = pending.popleft()
+        t0 = time.perf_counter()
+        logits_host = np.asarray(logits_dev)  # D2H fetch (tunnel/PCIe)
+        t1 = time.perf_counter()
+        itp.store_predictions(logits_host, idx)  # host scatter-merge
+        t2 = time.perf_counter()
+        t_fetch += t1 - t0
+        t_merge += t2 - t1
     for batch in BackgroundIterator(datamodule.predict_dataloader(), max_prefetch=2):
         if batch is None:
             continue
@@ -128,13 +142,9 @@ def predict(config, phases: Optional[dict] = None) -> Optional[str]:
         pending.append((full_logits, batch.idx_in_original_cloud))
         n_batches += 1
         if len(pending) > 1:
-            t0 = time.perf_counter()
-            itp.store_predictions(*pending.popleft())
-            t_fetch += time.perf_counter() - t0
+            _drain(itp)
     while pending:
-        t0 = time.perf_counter()
-        itp.store_predictions(*pending.popleft())
-        t_fetch += time.perf_counter() - t0
+        _drain(itp)
     t_stream = time.perf_counter() - t_stream0
 
     t_reduce0 = time.perf_counter()
@@ -146,14 +156,15 @@ def predict(config, phases: Optional[dict] = None) -> Optional[str]:
         f"predict phases: tile read {t_read:.1f}s; streaming {t_stream:.1f}s "
         f"over {n_batches} batches ({t_stream / max(n_batches, 1):.2f}s/batch "
         f"incl. host prep + H2D + device + D2H + overlap merge, of which "
-        f"{t_fetch:.1f}s blocked on fetch+merge), finalize+write "
-        f"{t_reduce:.1f}s"
+        f"{t_fetch:.1f}s blocked on the D2H logits fetch and {t_merge:.1f}s "
+        f"on the host scatter-merge), finalize+write {t_reduce:.1f}s"
     )
     if phases is not None:
         phases.update(
             tile_read_s=round(t_read, 2),
             streaming_s=round(t_stream, 2),
-            fetch_merge_blocked_s=round(t_fetch, 2),
+            fetch_blocked_s=round(t_fetch, 2),
+            merge_s=round(t_merge, 2),
             n_batches=n_batches,
             finalize_write_s=round(t_reduce, 2),
         )
