@@ -369,12 +369,6 @@ def read_las(path: str) -> LasData:
     """
     header = read_las_header(path)
     dt = _packed_dtype(header)
-    if getattr(header, "_is_laz", False):
-        raw = _read_laz_points(path, header, dt)
-    else:
-        with open(path, "rb") as f:
-            f.seek(header._point_offset)  # type: ignore[attr-defined]
-            raw = np.fromfile(f, dtype=dt, count=header.point_count)
 
     out_fields: List[Tuple[str, str]] = [("X", "<f8"), ("Y", "<f8"), ("Z", "<f8")]
     old_classification = header.point_format < 6
@@ -388,6 +382,16 @@ def read_las(path: str) -> LasData:
     out_fields.insert(3 + 4, ("EdgeOfFlightLine", "u1"))
     if old_classification:
         out_fields.insert(3 + 5, ("Classification", "u1"))
+
+    native_pts = _read_unpacked_native(path, header, dt, np.dtype(out_fields))
+    if native_pts is not None:
+        return LasData(header=header, points=native_pts)
+    if getattr(header, "_is_laz", False):
+        raw = _read_laz_points(path, header, dt)
+    else:
+        with open(path, "rb") as f:
+            f.seek(header._point_offset)  # type: ignore[attr-defined]
+            raw = np.fromfile(f, dtype=dt, count=header.point_count)
 
     out = np.empty(len(raw), dtype=np.dtype(out_fields))
     sx, sy, sz = header.scales
@@ -423,6 +427,18 @@ def _read_laz_points(path: str, header: LasHeader, dt: np.dtype) -> np.ndarray:
     LASzip codec (``pctl/native/laszip_native.cpp``). Supports compressor 1
     (pointwise) and 2 (pointwise chunked) with item version 2 — the classic
     LAS 1.2/1.3 point formats 0–3 (+extra bytes)."""
+    out = _read_laz_record_bytes(path, header, dt)
+    if out is None:
+        raise RuntimeError(
+            f"{path}: LAZ input needs the native codec, which failed to build"
+        )
+    return np.frombuffer(out.tobytes(), dtype=dt)
+
+
+def _read_laz_record_bytes(
+    path: str, header: LasHeader, dt: np.dtype
+) -> Optional[np.ndarray]:
+    """LAZ point block -> flat uint8 record bytes (``None`` = codec absent)."""
     from myria3d_tpu.pctl.native import laz_decompress_points
 
     laszip = _parse_laszip_vlr(header.vlrs)
@@ -452,7 +468,7 @@ def _read_laz_points(path: str, header: LasHeader, dt: np.dtype) -> np.ndarray:
     with open(path, "rb") as f:
         file_bytes = f.read()
     chunk_size = laszip["chunk_size"] if laszip["compressor"] in (2, 3) else 0
-    out = laz_decompress_points(
+    return laz_decompress_points(
         file_bytes,
         header._point_offset,  # type: ignore[attr-defined]
         header.point_count,
@@ -460,11 +476,86 @@ def _read_laz_points(path: str, header: LasHeader, dt: np.dtype) -> np.ndarray:
         items,
         layered=layered,
     )
-    if out is None:
-        raise RuntimeError(
-            f"{path}: LAZ input needs the native codec, which failed to build"
-        )
-    return np.frombuffer(out.tobytes(), dtype=dt)
+
+
+def _native_unpack_table(header: LasHeader, dt: np.dtype, out_dtype: np.dtype):
+    """Field table driving ``pctl_native.las_unpack_records`` — one
+    (src_off, src_type, shift, mask, scale, offset, dst_off, dst_type) row
+    per output column, mirroring ``_unpack_bitfields`` + the XYZ
+    grid-descale exactly. Returns None when some column can't be expressed
+    (→ numpy fallback)."""
+    from myria3d_tpu.pctl.native import NATIVE_TYPE_ENUM
+
+    fields = []
+    rn_src = "flags" if header.point_format < 6 else "returns"
+    sx, sy, sz = header.scales
+    ox, oy, oz = header.offsets
+    assert dt.fields is not None and out_dtype.fields is not None
+    for name in out_dtype.names or ():
+        ddt, dst_off = out_dtype.fields[name][:2]
+        dcode = NATIVE_TYPE_ENUM.get(ddt.str.lstrip("<=|"))
+        if dcode is None:
+            return None
+        if name in ("X", "Y", "Z"):
+            src, scale, off = {
+                "X": ("X_raw", sx, ox),
+                "Y": ("Y_raw", sy, oy),
+                "Z": ("Z_raw", sz, oz),
+            }[name]
+            if scale == 0.0:
+                return None  # degenerate header; keep the generic path
+            fields.append((dt.fields[src][1], 5, 0, 0, scale, off,
+                           dst_off, dcode))
+        elif name == "ReturnNumber":
+            m = 0x07 if header.point_format < 6 else 0x0F
+            fields.append((dt.fields[rn_src][1], 0, 0, m, 0.0, 0.0,
+                           dst_off, dcode))
+        elif name == "NumberOfReturns":
+            sh, m = (3, 0x07) if header.point_format < 6 else (4, 0x0F)
+            fields.append((dt.fields[rn_src][1], 0, sh, m, 0.0, 0.0,
+                           dst_off, dcode))
+        elif name == "ScanDirectionFlag":
+            fields.append((dt.fields["flags"][1], 0, 6, 0x01, 0.0, 0.0,
+                           dst_off, dcode))
+        elif name == "EdgeOfFlightLine":
+            fields.append((dt.fields["flags"][1], 0, 7, 0x01, 0.0, 0.0,
+                           dst_off, dcode))
+        elif name == "Classification" and header.point_format < 6:
+            fields.append((dt.fields["raw_classification"][1], 0, 0, 0x1F,
+                           0.0, 0.0, dst_off, dcode))
+        else:
+            if name not in dt.fields:
+                return None
+            fdt, foff = dt.fields[name][:2]
+            code = NATIVE_TYPE_ENUM.get(fdt.str.lstrip("<=|"))
+            if code is None:
+                return None
+            fields.append((foff, code, 0, 0, 0.0, 0.0, dst_off, dcode))
+    return fields
+
+
+def _read_unpacked_native(
+    path: str, header: LasHeader, dt: np.dtype, out_dtype: np.dtype
+) -> Optional[np.ndarray]:
+    """Fused native record->columns conversion (single pass, threaded).
+    Returns the structured points array, or None to fall back to numpy."""
+    from myria3d_tpu.pctl.native import native_las_unpack_records
+
+    table = _native_unpack_table(header, dt, out_dtype)
+    if table is None:
+        return None
+    n = header.point_count
+    if getattr(header, "_is_laz", False):
+        rec_bytes = _read_laz_record_bytes(path, header, dt)
+        if rec_bytes is None:
+            return None
+    else:
+        mm = np.memmap(path, np.uint8, mode="r")
+        start = header._point_offset  # type: ignore[attr-defined]
+        if start + n * dt.itemsize > mm.size:
+            return None  # truncated file: let the generic reader error out
+        rec_bytes = mm[start:]
+    return native_las_unpack_records(rec_bytes, n, dt.itemsize, table, out_dtype)
 
 
 def read_las_float32(path: str) -> LasData:
@@ -473,10 +564,17 @@ def read_las_float32(path: str) -> LasData:
     The training/inference data layer consumes float32 everywhere
     (reference ``pdal_read_las_array_as_float32``); going through the
     generic f64 named array first would copy the whole tile twice. This
-    builds the f32 array straight from the packed records.
+    builds the f32 array straight from the packed records — via the fused
+    thread-parallel C++ record walk (``pctl_native.las_records_to_f32``)
+    when available, else numpy per-field strided copies (same semantics).
     """
     header = read_las_header(path)
     dt = _packed_dtype(header)
+    names = _output_field_order(header, dt)
+    f32_dtype = np.dtype([(n, "<f4") for n in names])
+    native_pts = _read_unpacked_native(path, header, dt, f32_dtype)
+    if native_pts is not None:
+        return LasData(header=header, points=native_pts)
     if getattr(header, "_is_laz", False):
         raw = _read_laz_points(path, header, dt)
     else:
@@ -484,8 +582,7 @@ def read_las_float32(path: str) -> LasData:
             f.seek(header._point_offset)  # type: ignore[attr-defined]
             raw = np.fromfile(f, dtype=dt, count=header.point_count)
 
-    names = _output_field_order(header, dt)
-    out = np.empty(len(raw), dtype=np.dtype([(n, "<f4") for n in names]))
+    out = np.empty(len(raw), dtype=f32_dtype)
     sx, sy, sz = header.scales
     ox, oy, oz = header.offsets
     # scale in f64 (raw i32 magnitudes exceed f32's integer range), cast once

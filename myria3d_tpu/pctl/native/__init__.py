@@ -28,7 +28,8 @@ def _build() -> Optional[str]:
         return _SO
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _SO],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+             _SRC, "-o", _SO],
             check=True, capture_output=True, timeout=120,
         )
         return _SO
@@ -69,6 +70,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.bin_windows_fill.argtypes = [
         dp, ctypes.c_int64, dp, ctypes.c_int32,
         ctypes.c_double, ctypes.c_double, i64p, i64p, i64p,
+    ]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.las_unpack_records.restype = None
+    lib.las_unpack_records.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int32,
+        i32p, i32p, i32p, u32p, dp, dp, i32p, i32p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, u8p,
     ]
     _lib = lib
     return _lib
@@ -286,6 +296,67 @@ def laz_compress_points(
     if n < 0:
         raise ValueError(f"LAZ compression failed (code {n})")
     return out[:n].tobytes()
+
+
+# LAS field-table type enum shared with pctl_native.cpp's unpack dispatch
+NATIVE_TYPE_ENUM = {
+    "u1": 0, "i1": 1, "u2": 2, "i2": 3, "u4": 4,
+    "i4": 5, "u8": 6, "i8": 7, "f4": 8, "f8": 9,
+}
+_TYPE_SIZE = (1, 1, 2, 2, 4, 4, 8, 8, 4, 8)
+
+
+def native_las_unpack_records(
+    records: np.ndarray,        # (>= n * rec_len,) uint8 (or memmap view)
+    n: int,
+    rec_len: int,
+    fields: "list[tuple[int, int, int, int, float, float, int, int]]",
+    # per output column:
+    #   (src_off, src_type, shift, mask, scale, offset, dst_off, dst_type)
+    # type enum 0=u8 1=i8 2=u16 3=i16 4=u32 5=i32 6=u64 7=i64 8=f32 9=f64;
+    # mask==0 -> no bitfield (mask only valid on integral sources);
+    # scale==0.0 -> no affine, else out = (double)v * scale + offset
+    out_dtype: np.dtype,        # structured row layout the table targets
+    n_threads: int = 0,
+) -> Optional[np.ndarray]:
+    """Fused packed-record -> typed-column conversion (thread-parallel).
+
+    Returns an (n,) structured array of ``out_dtype``, or None when the
+    native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_fields = len(fields)
+    src_off = np.asarray([f[0] for f in fields], np.int32)
+    src_type = np.asarray([f[1] for f in fields], np.int32)
+    shift = np.asarray([f[2] for f in fields], np.int32)
+    mask = np.asarray([f[3] for f in fields], np.uint32)
+    scale = np.asarray([f[4] for f in fields], np.float64)
+    offset = np.asarray([f[5] for f in fields], np.float64)
+    dst_off = np.asarray([f[6] for f in fields], np.int32)
+    dst_type = np.asarray([f[7] for f in fields], np.int32)
+    stride = out_dtype.itemsize
+    for f in fields:
+        if f[6] + _TYPE_SIZE[f[7]] > stride:
+            raise ValueError("field table writes past the output stride")
+    out = np.zeros(n, dtype=out_dtype)  # zeros: pad/void gaps stay defined
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.las_unpack_records(
+        _u8ptr(records), ctypes.c_int64(n), ctypes.c_int32(rec_len),
+        src_off.ctypes.data_as(i32p),
+        src_type.ctypes.data_as(i32p),
+        shift.ctypes.data_as(i32p),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        scale.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        offset.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        dst_off.ctypes.data_as(i32p),
+        dst_type.ctypes.data_as(i32p),
+        ctypes.c_int32(n_fields), ctypes.c_int32(stride),
+        ctypes.c_int32(n_threads),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out
 
 
 def native_crop_square(

@@ -20,6 +20,7 @@
 #include <cstdint>
 #include <cstring>
 #include <numeric>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -187,6 +188,162 @@ void bin_windows_fill(const double* xy, int64_t n, const double* centers,
       for (int32_t b = 0; b < ny; ++b)
         out_indices[cursors[(int64_t)kx[a] * n_k + ky[b]]++] = i;
   }
+}
+
+// ---------------------------------------------------------------------------
+// Packed LAS point records -> all-float32 AoS column conversion.
+//
+// The f32 tile read (pctl/io/las.py::read_las_float32) is the serial head
+// of every predict run: numpy's per-field strided copies over ~17 M x 30-38 B
+// records cost ~10x a fused single-pass record walk. This kernel does the
+// whole conversion in one pass per record (thread-parallel over record
+// ranges; records are independent), driven by a field table the Python side
+// derives from the LAS point-format dtype:
+//   src_off  byte offset of the source field inside the record
+//   src_type 0=u8 1=i8 2=u16 3=i16 4=u32 5=i32 6=u64 7=i64 8=f32 9=f64
+//   shift/mask  bitfield extraction (value >> shift) & mask on the unsigned
+//               integer load; mask == 0 means "no bitfield"
+//   scale/offset  out = (double)v * scale + offset (scale 0 => v unscaled);
+//               XYZ i32 grids use this (f64 math, single f32 rounding)
+// Output: n records of n_fields little-endian f32 values (AoS, stride
+// 4*n_fields) — exactly numpy's packed structured array of f32 columns.
+// ---------------------------------------------------------------------------
+
+}  // extern "C" (templates below need C++ linkage)
+
+namespace {
+
+// One field over a block of records: a tight strided loop with the type
+// pair, bitfield, and affine variant all resolved BEFORE the loop — the
+// naive record-major switch-per-element walk mispredicts its indirect
+// branch on every element (the field type changes each iteration) and
+// measured ~26 ns/field; this column-sweep runs at ~2 ns/field.
+template <typename SRC, typename DST>
+void unpack_field_block(const uint8_t* rec, int64_t cnt, int64_t rec_len,
+                        int32_t shift, uint32_t mask, double scale,
+                        double offset, uint8_t* dst, int64_t out_stride) {
+  if (mask) {  // bitfield extract (integral sources only, by construction)
+    for (int64_t i = 0; i < cnt; ++i) {
+      SRC t;
+      std::memcpy(&t, rec + i * rec_len, sizeof(SRC));
+      const uint32_t u = ((uint32_t)(int64_t)t >> shift) & mask;
+      const DST d = static_cast<DST>(u);
+      std::memcpy(dst + i * out_stride, &d, sizeof(DST));
+    }
+  } else if (scale != 0.0) {  // affine descale (XYZ grid coords)
+    for (int64_t i = 0; i < cnt; ++i) {
+      SRC t;
+      std::memcpy(&t, rec + i * rec_len, sizeof(SRC));
+      const DST d = static_cast<DST>((double)t * scale + offset);
+      std::memcpy(dst + i * out_stride, &d, sizeof(DST));
+    }
+  } else {  // plain convert/copy
+    for (int64_t i = 0; i < cnt; ++i) {
+      SRC t;
+      std::memcpy(&t, rec + i * rec_len, sizeof(SRC));
+      const DST d = static_cast<DST>(t);
+      std::memcpy(dst + i * out_stride, &d, sizeof(DST));
+    }
+  }
+}
+
+template <typename SRC>
+void unpack_dispatch_dst(int32_t dst_type, const uint8_t* rec, int64_t cnt,
+                         int64_t rec_len, int32_t shift, uint32_t mask,
+                         double scale, double offset, uint8_t* dst,
+                         int64_t out_stride) {
+  switch (dst_type) {
+    case 0: unpack_field_block<SRC, uint8_t>(rec, cnt, rec_len, shift, mask, scale, offset, dst, out_stride); break;
+    case 1: unpack_field_block<SRC, int8_t>(rec, cnt, rec_len, shift, mask, scale, offset, dst, out_stride); break;
+    case 2: unpack_field_block<SRC, uint16_t>(rec, cnt, rec_len, shift, mask, scale, offset, dst, out_stride); break;
+    case 3: unpack_field_block<SRC, int16_t>(rec, cnt, rec_len, shift, mask, scale, offset, dst, out_stride); break;
+    case 4: unpack_field_block<SRC, uint32_t>(rec, cnt, rec_len, shift, mask, scale, offset, dst, out_stride); break;
+    case 5: unpack_field_block<SRC, int32_t>(rec, cnt, rec_len, shift, mask, scale, offset, dst, out_stride); break;
+    case 6: unpack_field_block<SRC, uint64_t>(rec, cnt, rec_len, shift, mask, scale, offset, dst, out_stride); break;
+    case 7: unpack_field_block<SRC, int64_t>(rec, cnt, rec_len, shift, mask, scale, offset, dst, out_stride); break;
+    case 8: unpack_field_block<SRC, float>(rec, cnt, rec_len, shift, mask, scale, offset, dst, out_stride); break;
+    case 9: unpack_field_block<SRC, double>(rec, cnt, rec_len, shift, mask, scale, offset, dst, out_stride); break;
+    default: break;
+  }
+}
+
+void unpack_dispatch(int32_t src_type, int32_t dst_type, const uint8_t* rec,
+                     int64_t cnt, int64_t rec_len, int32_t shift,
+                     uint32_t mask, double scale, double offset, uint8_t* dst,
+                     int64_t out_stride) {
+  switch (src_type) {
+    case 0: unpack_dispatch_dst<uint8_t>(dst_type, rec, cnt, rec_len, shift, mask, scale, offset, dst, out_stride); break;
+    case 1: unpack_dispatch_dst<int8_t>(dst_type, rec, cnt, rec_len, shift, mask, scale, offset, dst, out_stride); break;
+    case 2: unpack_dispatch_dst<uint16_t>(dst_type, rec, cnt, rec_len, shift, mask, scale, offset, dst, out_stride); break;
+    case 3: unpack_dispatch_dst<int16_t>(dst_type, rec, cnt, rec_len, shift, mask, scale, offset, dst, out_stride); break;
+    case 4: unpack_dispatch_dst<uint32_t>(dst_type, rec, cnt, rec_len, shift, mask, scale, offset, dst, out_stride); break;
+    case 5: unpack_dispatch_dst<int32_t>(dst_type, rec, cnt, rec_len, shift, mask, scale, offset, dst, out_stride); break;
+    case 6: unpack_dispatch_dst<uint64_t>(dst_type, rec, cnt, rec_len, shift, mask, scale, offset, dst, out_stride); break;
+    case 7: unpack_dispatch_dst<int64_t>(dst_type, rec, cnt, rec_len, shift, mask, scale, offset, dst, out_stride); break;
+    case 8: unpack_dispatch_dst<float>(dst_type, rec, cnt, rec_len, shift, mask, scale, offset, dst, out_stride); break;
+    case 9: unpack_dispatch_dst<double>(dst_type, rec, cnt, rec_len, shift, mask, scale, offset, dst, out_stride); break;
+    default: break;
+  }
+}
+
+constexpr int64_t kUnpackBlock = 32768;  // records per L2-resident block
+
+void unpack_records_range(const uint8_t* rec0, int64_t lo, int64_t hi,
+                          int64_t rec_len, const int32_t* src_off,
+                          const int32_t* src_type, const int32_t* shift,
+                          const uint32_t* mask, const double* scale,
+                          const double* offset, const int32_t* dst_off,
+                          const int32_t* dst_type, int32_t n_fields,
+                          int64_t out_stride, uint8_t* out) {
+  for (int64_t b = lo; b < hi; b += kUnpackBlock) {
+    const int64_t cnt = std::min<int64_t>(kUnpackBlock, hi - b);
+    const uint8_t* rec = rec0 + b * rec_len;
+    uint8_t* dst = out + b * out_stride;
+    for (int32_t f = 0; f < n_fields; ++f) {
+      unpack_dispatch(src_type[f], dst_type[f], rec + src_off[f], cnt,
+                      rec_len, shift[f], mask[f], scale[f], offset[f],
+                      dst + dst_off[f], out_stride);
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Generic packed-record -> typed-column unpack (field table from Python;
+// see pctl/native/__init__.py::native_las_unpack_records for the contract).
+void las_unpack_records(const uint8_t* records, int64_t n, int32_t rec_len,
+                        const int32_t* src_off, const int32_t* src_type,
+                        const int32_t* shift, const uint32_t* mask,
+                        const double* scale, const double* offset,
+                        const int32_t* dst_off, const int32_t* dst_type,
+                        int32_t n_fields, int32_t out_stride,
+                        int32_t n_threads, uint8_t* out) {
+  if (n <= 0 || n_fields <= 0) return;
+  int64_t nt = n_threads > 0
+                   ? n_threads
+                   : (int64_t)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  nt = std::min<int64_t>(nt, (n + (1 << 18) - 1) >> 18);  // >=256k rows/thread
+  if (nt <= 1) {
+    unpack_records_range(records, 0, n, rec_len, src_off, src_type, shift,
+                         mask, scale, offset, dst_off, dst_type, n_fields,
+                         out_stride, out);
+    return;
+  }
+  std::vector<std::thread> workers;
+  const int64_t per = (n + nt - 1) / nt;
+  for (int64_t t = 0; t < nt; ++t) {
+    const int64_t lo = t * per;
+    const int64_t hi = std::min<int64_t>(lo + per, n);
+    if (lo >= hi) break;
+    workers.emplace_back(unpack_records_range, records, lo, hi,
+                         (int64_t)rec_len, src_off, src_type, shift, mask,
+                         scale, offset, dst_off, dst_type, n_fields,
+                         (int64_t)out_stride, out);
+  }
+  for (auto& w : workers) w.join();
 }
 
 }  // extern "C"

@@ -493,3 +493,40 @@ def test_extra_columns_passthrough(tmp_path):
             LasHeader(point_format=3, offsets=(862000.0, 6652000.0, 0.0)),
             extra_columns={"oops": np.zeros(5, np.float32)},
         )
+
+
+@pytest.mark.parametrize("fmt,compressed", [(3, False), (8, False), (3, True)])
+def test_native_unpack_parity_with_numpy_path(tmp_path, fmt, compressed, monkeypatch):
+    """The fused C++ record unpack (``pctl_native.las_unpack_records``) must be
+    byte-identical to the generic numpy per-field conversion, for both the f64
+    named read and the f32 fast read, LAS and LAZ, old and new point formats."""
+    import myria3d_tpu.pctl.io.las as las_mod
+    from myria3d_tpu.pctl.io.las import read_las_float32
+    from myria3d_tpu.pctl import native as native_mod
+
+    if native_mod.get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    pts = _synthetic_points(2000, with_colors=fmt in (2, 3, 7, 8))
+    header = LasHeader(
+        version=(1, 4) if fmt >= 6 else (1, 2), point_format=fmt,
+        scales=(0.01, 0.01, 0.01), offsets=(862000.0, 6652000.0, 0.0),
+    )
+    path = str(tmp_path / ("p.laz" if compressed else "p.las"))
+    write_las(path, pts, header)
+
+    native_64 = read_las(path).points
+    native_32 = read_las_float32(path).points
+
+    monkeypatch.setattr(
+        las_mod, "_read_unpacked_native", lambda *a, **k: None
+    )
+    numpy_64 = read_las(path).points
+    numpy_32 = read_las_float32(path).points
+
+    assert native_64.dtype == numpy_64.dtype
+    assert native_32.dtype == numpy_32.dtype
+    for name in numpy_64.dtype.names:
+        np.testing.assert_array_equal(native_64[name], numpy_64[name], err_msg=name)
+    for name in numpy_32.dtype.names:
+        np.testing.assert_array_equal(native_32[name], numpy_32[name], err_msg=name)
