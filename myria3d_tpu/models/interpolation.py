@@ -108,6 +108,7 @@ class Interpolator:
 
         self.logits: List[np.ndarray] = []
         self.idx_in_full_cloud: List[np.ndarray] = []
+        self.finalize_phases: Dict[str, float] = {}
         # incremental-merge state (see prepare())
         self._nb_points: Optional[int] = None
         self._reduced: Optional[np.ndarray] = None
@@ -143,12 +144,19 @@ class Interpolator:
     @staticmethod
     def _scatter_add(reduced: np.ndarray, idx: np.ndarray, logit: np.ndarray) -> None:
         # Subtile crops index each original point at most once, in
-        # ascending order — the vectorized fancy += is then exact and
-        # 2.1x np.add.at at the 17 M-point tile scale (measured). Any
-        # caller passing unsorted/duplicated indices falls back to the
-        # duplicate-safe ufunc scatter.
+        # ascending order — row ranges are then race-free, so the native
+        # thread-parallel row scatter applies (f16 wire logits upcast
+        # in-flight, deleting the full-batch astype pass); the vectorized
+        # fancy += is the no-toolchain fallback (2.1x np.add.at at the
+        # 17 M-point tile scale, measured). Unsorted/duplicated indices
+        # fall back to the duplicate-safe ufunc scatter.
         if idx.size < 2 or np.all(np.diff(idx) > 0):
-            reduced[idx] += logit
+            from myria3d_tpu.pctl.native import native_scatter_add_rows
+
+            logit = np.ascontiguousarray(logit)
+            if native_scatter_add_rows(reduced, idx, logit):
+                return
+            reduced[idx] += logit.astype(np.float32, copy=False)
         else:
             np.add.at(reduced, idx, logit)
 
@@ -159,8 +167,9 @@ class Interpolator:
             logits: (B, M, C) padded full-cloud logits from ``interp_step``.
             idx_in_original_cloud: list of B int arrays (ragged true lengths).
         """
-        # upcast once: the device ships f16 logits to halve the transfer
-        logits = np.asarray(logits).astype(np.float32, copy=False)
+        # the device ships f16 logits to halve the transfer; the native
+        # scatter upcasts in-flight, so only the stash path converts here
+        logits = np.asarray(logits)
         if self._nb_points is not None and self._reduced is None:
             self._reduced = np.zeros(
                 (self._nb_points, logits.shape[-1]), dtype=np.float32
@@ -181,7 +190,9 @@ class Interpolator:
                 self._scatter_add(self._reduced, idx_arr, logits[b, :n])
                 self._covered[idx_arr] = True
             else:
-                self.logits.append(logits[b, :n])
+                self.logits.append(
+                    logits[b, :n].astype(np.float32, copy=False)
+                )
                 self.idx_in_full_cloud.append(idx_arr)
 
     def reduce_predicted_logits(self, nb_points: int) -> np.ndarray:
@@ -206,7 +217,15 @@ class Interpolator:
         self, raw_path: str, output_dir: str, epsg: Optional[str] = None
     ) -> str:
         """Derive channels from merged logits and write the output LAS
-        (reference ``reduce_predictions_and_save``, ``:123-186``)."""
+        (reference ``reduce_predictions_and_save``, ``:123-186``).
+
+        Fills ``self.finalize_phases`` with the phase wall-times
+        (coverage closure, softmax/entropy, LAS write) for the predict
+        phase table."""
+        import time
+
+        self.finalize_phases: Dict[str, float] = {}
+        t_cov0 = time.perf_counter()
         if self._points is not None:
             points, header = self._points, self._header
         else:
@@ -249,41 +268,66 @@ class Interpolator:
             else:
                 uncov = np.flatnonzero(~covered)
 
-        # numerically-stable softmax
-        m = logits.max(axis=1, keepdims=True)
-        e = np.exp(logits - m)
-        z = e.sum(axis=1, keepdims=True)
-        probas = e / z
+        self.finalize_phases["coverage_s"] = round(
+            time.perf_counter() - t_cov0, 2
+        )
+        # softmax + argmax-map + entropy: fused native single pass when the
+        # toolchain is present, else the numpy chain (same math; the native
+        # kernel's per-row H = log Z + max - sum(p*logit) mirrors the
+        # numpy formulation below bit-for-bit up to libm/fp association)
+        t_soft0 = time.perf_counter()
+        from myria3d_tpu.pctl.native import native_logits_finalize
+
+        fused = native_logits_finalize(
+            logits,
+            self.reverse_mapper.astype(np.uint8),
+            want_preds=bool(self.predicted_classification_channel),
+            want_entropy=bool(self.entropy_channel),
+        )
+        if fused is not None:
+            probas, preds, ent = fused
+        else:
+            # numerically-stable softmax
+            m = logits.max(axis=1, keepdims=True)
+            e = np.exp(logits - m)
+            z = e.sum(axis=1, keepdims=True)
+            probas = e / z
+            preds = ent = None
+            if self.predicted_classification_channel:
+                preds = self.reverse_mapper[np.argmax(probas, axis=1)]
+                preds = preds.astype(np.uint8)
+            if self.entropy_channel:
+                # H = log Z + max - sum(p * logit): one log over N instead
+                # of N x C (same value as -sum p log p, exact up to fp assoc)
+                ent = (
+                    np.log(z[:, 0])
+                    + m[:, 0]
+                    - np.einsum("nc,nc->n", probas, logits)
+                ).astype(np.float32)
+                np.maximum(ent, 0.0, out=ent)  # clip fp negatives at one-hot
         if uncov is not None:
             probas[uncov] = 0.0  # reference: null probabilities
+        t_soft = time.perf_counter() - t_soft0
 
         extra_columns: Dict[str, np.ndarray] = {}
         class_names = list(self.classification_dict.values())
         for name in self.probas_to_save:
             ci = class_names.index(name)
             extra_columns[name] = probas[:, ci]
-        if self.predicted_classification_channel:
-            preds = self.reverse_mapper[np.argmax(probas, axis=1)]
-            preds = preds.astype(np.uint8)
+        if preds is not None:
             if uncov is not None and "Classification" in (
                 points.dtype.names or ()
             ):
                 # reference: unpredicted points keep their original class
                 preds[uncov] = points["Classification"][uncov].astype(np.uint8)
             extra_columns[self.predicted_classification_channel] = preds
-        if self.entropy_channel:
-            # H = log Z + max - sum(p * logit): one log over N instead of
-            # N x C (same value as -sum p log p, exact up to fp assoc)
-            ent = (
-                np.log(z[:, 0])
-                + m[:, 0]
-                - np.einsum("nc,nc->n", probas, logits)
-            ).astype(np.float32)
-            np.maximum(ent, 0.0, out=ent)  # clip fp negatives at one-hot
+        if ent is not None:
             if uncov is not None:
                 ent[uncov] = 0.0  # reference: null entropy
             extra_columns[self.entropy_channel] = ent
 
+        self.finalize_phases["softmax_s"] = round(t_soft, 2)
+        t_write0 = time.perf_counter()
         os.makedirs(output_dir, exist_ok=True)
         out_path = os.path.join(output_dir, os.path.basename(raw_path))
         # atomic publish: an existing output file is always complete, so
@@ -300,6 +344,9 @@ class Interpolator:
             extra_columns=extra_columns,
         )
         os.replace(tmp_path, out_path)
+        self.finalize_phases["write_s"] = round(
+            time.perf_counter() - t_write0, 2
+        )
         log.info(f"Predictions written to {out_path}")
 
         # reset accumulators for the next tile

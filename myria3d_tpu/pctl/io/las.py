@@ -633,6 +633,100 @@ def _unpack_bitfields(header: LasHeader, raw: np.ndarray, out: np.ndarray) -> No
         out["Classification"] = raw["Classification"]
 
 
+def _native_pack_table(
+    points: np.ndarray,
+    extra_sources: Dict[str, np.ndarray],
+    header: LasHeader,
+    dt: np.dtype,
+):
+    """Field table driving ``pctl_native.las_pack_records`` — the write-side
+    mirror of ``_native_unpack_table``, reproducing ``write_las``'s numpy
+    column assignments exactly (bitfield packing, XYZ grid scaling with
+    round-half-to-even, missing-column defaults). Returns (fields, keep)
+    or None when some column can't be expressed (→ numpy fallback)."""
+    from myria3d_tpu.pctl.native import NATIVE_TYPE_ENUM
+
+    fmt = header.point_format
+    names = points.dtype.names or ()
+    if len(points) == 0:
+        return None  # nothing to pack; the numpy path handles empty clouds
+    keep: List[np.ndarray] = []  # holds const/contiguous temporaries alive
+    fields = []
+    assert dt.fields is not None
+
+    def src_of(name: str, default: int = 0):
+        if name in names:
+            v = points[name]
+            code = NATIVE_TYPE_ENUM.get(v.dtype.str.lstrip("<=|"))
+            if code is None:
+                return None
+            return (v, v.strides[0], code)
+        cst = np.full(1, default, np.int64)
+        keep.append(cst)
+        return (cst, 0, 7)
+
+    def add(src, dname: str, shift: int = 0, mask: int = 0,
+            scale: float = 0.0, offset: float = 0.0) -> bool:
+        if src is None:
+            return False
+        ddt, doff = dt.fields[dname][:2]
+        dcode = NATIVE_TYPE_ENUM.get(ddt.str.lstrip("<=|"))
+        if dcode is None:
+            return False
+        fields.append((src[0], src[1], src[2], shift, mask,
+                       scale, offset, doff, dcode))
+        return True
+
+    sx, sy, sz = header.scales
+    ox, oy, oz = header.offsets
+    for axis, s, o in (("X", sx, ox), ("Y", sy, oy), ("Z", sz, oz)):
+        src = src_of(axis)
+        # the numpy path computes (coord - offset) / scale at the COLUMN's
+        # own precision; the kernel computes in f64 — only equivalent for
+        # f8 sources, so anything else keeps the generic path
+        if src is None or src[2] != 9 or s == 0.0:
+            return None
+        if not add(src, axis + "_raw", scale=s, offset=o):
+            return None
+    ok = add(src_of("Intensity"), "Intensity")
+    rn, nr = src_of("ReturnNumber", 1), src_of("NumberOfReturns", 1)
+    sd, eo = src_of("ScanDirectionFlag"), src_of("EdgeOfFlightLine")
+    cls = src_of("Classification")
+    if any(s is None or s[2] >= 8 for s in (rn, nr, sd, eo, cls)):
+        return None  # float-typed flag columns: keep the generic path
+    if fmt < 6:
+        ok &= add(rn, "flags", shift=0, mask=0x07)
+        ok &= add(nr, "flags", shift=3, mask=0x07)
+        ok &= add(sd, "flags", shift=6, mask=0x01)
+        ok &= add(eo, "flags", shift=7, mask=0x01)
+        ok &= add(cls, "raw_classification", shift=0, mask=0x1F)
+        ok &= add(src_of("ScanAngleRank"), "ScanAngleRank")
+    else:
+        ok &= add(rn, "returns", shift=0, mask=0x0F)
+        ok &= add(nr, "returns", shift=4, mask=0x0F)
+        ok &= add(sd, "flags", shift=6, mask=0x01)
+        ok &= add(eo, "flags", shift=7, mask=0x01)
+        ok &= add(cls, "Classification")
+        ok &= add(src_of("ScanAngle"), "ScanAngle")
+    ok &= add(src_of("UserData"), "UserData")
+    ok &= add(src_of("PointSourceId"), "PointSourceId")
+    for name, _ in _FMT_FIELDS[fmt]:
+        if name in ("GpsTime", "Red", "Green", "Blue", "Infrared") and name in names:
+            ok &= add(src_of(name), name)
+    for name, values in extra_sources.items():
+        v = np.asarray(values)  # strided views pack directly (no copy)
+        if v.ndim != 1:
+            return None
+        keep.append(v)
+        code = NATIVE_TYPE_ENUM.get(v.dtype.str.lstrip("<=|"))
+        if code is None:
+            return None
+        ok &= add((v, v.strides[0], code), name)
+    if not ok:
+        return None
+    return fields, keep
+
+
 def write_las(
     path: str,
     points: np.ndarray,
@@ -687,45 +781,60 @@ def write_las(
     dt = np.dtype(fields)
 
     n = len(points)
-    raw = np.zeros(n, dtype=dt)
-    sx, sy, sz = header.scales
-    ox, oy, oz = header.offsets
-    raw["X_raw"] = np.round((points["X"] - ox) / sx).astype(np.int64)
-    raw["Y_raw"] = np.round((points["Y"] - oy) / sy).astype(np.int64)
-    raw["Z_raw"] = np.round((points["Z"] - oz) / sz).astype(np.int64)
 
     def col(name: str, default: int = 0) -> np.ndarray:
         if name in (points.dtype.names or ()):
             return points[name]
         return np.full(n, default)
 
-    raw["Intensity"] = col("Intensity")
-    rn = np.asarray(col("ReturnNumber", 1)).astype(np.uint8)
-    nr = np.asarray(col("NumberOfReturns", 1)).astype(np.uint8)
-    sd = np.asarray(col("ScanDirectionFlag")).astype(np.uint8)
-    eo = np.asarray(col("EdgeOfFlightLine")).astype(np.uint8)
-    cls = np.asarray(col("Classification")).astype(np.uint8)
-    if fmt < 6:
-        raw["flags"] = (rn & 0x07) | ((nr & 0x07) << 3) | ((sd & 1) << 6) | ((eo & 1) << 7)
-        raw["raw_classification"] = cls & 0x1F
-        raw["ScanAngleRank"] = np.asarray(col("ScanAngleRank")).astype(np.int8)
-    else:
-        raw["returns"] = (rn & 0x0F) | ((nr & 0x0F) << 4)
-        raw["flags"] = ((sd & 1) << 6) | ((eo & 1) << 7)
-        raw["Classification"] = cls
-        raw["ScanAngle"] = np.asarray(col("ScanAngle")).astype(np.int16)
-    raw["UserData"] = col("UserData")
-    raw["PointSourceId"] = col("PointSourceId")
-    for name, _ in _FMT_FIELDS[fmt]:
-        if name in ("GpsTime", "Red", "Green", "Blue", "Infrared") and name in (
-            points.dtype.names or ()
-        ):
-            raw[name] = points[name]
-    for d in new_extra:
-        if d.name in extra_columns:
-            raw[d.name] = np.asarray(extra_columns[d.name]).astype(d.dtype)
+    rn = np.asarray(col("ReturnNumber", 1)).astype(np.uint8)  # by_return too
+
+    extra_sources = {
+        d.name: (extra_columns[d.name] if d.name in extra_columns
+                 else points[d.name])
+        for d in new_extra
+    }
+    raw = None
+    table = _native_pack_table(points, extra_sources, header, dt)
+    if table is not None:
+        from myria3d_tpu.pctl.native import native_las_pack_records
+
+        fields_tbl, _keep = table
+        raw = native_las_pack_records(fields_tbl, n, dt)
+    if raw is None:  # generic numpy path (no toolchain / exotic dtypes)
+        raw = np.zeros(n, dtype=dt)
+        sx, sy, sz = header.scales
+        ox, oy, oz = header.offsets
+        raw["X_raw"] = np.round((points["X"] - ox) / sx).astype(np.int64)
+        raw["Y_raw"] = np.round((points["Y"] - oy) / sy).astype(np.int64)
+        raw["Z_raw"] = np.round((points["Z"] - oz) / sz).astype(np.int64)
+
+        raw["Intensity"] = col("Intensity")
+        nr = np.asarray(col("NumberOfReturns", 1)).astype(np.uint8)
+        sd = np.asarray(col("ScanDirectionFlag")).astype(np.uint8)
+        eo = np.asarray(col("EdgeOfFlightLine")).astype(np.uint8)
+        cls = np.asarray(col("Classification")).astype(np.uint8)
+        if fmt < 6:
+            raw["flags"] = (rn & 0x07) | ((nr & 0x07) << 3) | ((sd & 1) << 6) | ((eo & 1) << 7)
+            raw["raw_classification"] = cls & 0x1F
+            raw["ScanAngleRank"] = np.asarray(col("ScanAngleRank")).astype(np.int8)
         else:
-            raw[d.name] = points[d.name].astype(d.dtype)
+            raw["returns"] = (rn & 0x0F) | ((nr & 0x0F) << 4)
+            raw["flags"] = ((sd & 1) << 6) | ((eo & 1) << 7)
+            raw["Classification"] = cls
+            raw["ScanAngle"] = np.asarray(col("ScanAngle")).astype(np.int16)
+        raw["UserData"] = col("UserData")
+        raw["PointSourceId"] = col("PointSourceId")
+        for name, _ in _FMT_FIELDS[fmt]:
+            if name in ("GpsTime", "Red", "Green", "Blue", "Infrared") and name in (
+                points.dtype.names or ()
+            ):
+                raw[name] = points[name]
+        for d in new_extra:
+            if d.name in extra_columns:
+                raw[d.name] = np.asarray(extra_columns[d.name]).astype(d.dtype)
+            else:
+                raw[d.name] = points[d.name].astype(d.dtype)
 
     # VLRs: carry over source VLRs, replacing any existing extra-bytes VLR
     # with one describing the dims actually written, and dropping any stale

@@ -80,6 +80,23 @@ def get_lib() -> Optional[ctypes.CDLL]:
         i32p, i32p, i32p, u32p, dp, dp, i32p, i32p,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, u8p,
     ]
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    vpp = ctypes.POINTER(ctypes.c_void_p)
+    lib.las_pack_records.restype = None
+    lib.las_pack_records.argtypes = [
+        vpp, i64p, i32p, i32p, u64p, dp, dp, i32p, i32p,
+        ctypes.c_int32, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, u8p,
+    ]
+    fp = ctypes.POINTER(ctypes.c_float)
+    lib.scatter_add_rows.restype = None
+    lib.scatter_add_rows.argtypes = [
+        fp, i64p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
+    ]
+    lib.logits_finalize.restype = None
+    lib.logits_finalize.argtypes = [
+        fp, ctypes.c_int64, ctypes.c_int32, u8p, u8p, fp, fp, ctypes.c_int32,
+    ]
     _lib = lib
     return _lib
 
@@ -357,6 +374,130 @@ def native_las_unpack_records(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out
+
+
+def native_las_pack_records(
+    fields: "list[tuple[np.ndarray, int, int, int, int, float, float, int, int]]",
+    # per record field:
+    #   (src_array, src_stride, src_type, shift, mask, scale, offset,
+    #    dst_off, dst_type)
+    # src_stride 0 broadcasts src_array[0]; mask!=0 -> bitfield INSERT
+    #   dst |= ((u64)v & mask) << shift (integral src only);
+    # scale!=0 -> inverse grid affine nearbyint((v - offset) / scale)
+    n: int,
+    rec_dtype: np.dtype,
+    n_threads: int = 0,
+) -> Optional[np.ndarray]:
+    """Fused typed-column -> packed-record conversion (write-side mirror of
+    ``native_las_unpack_records``). Returns an (n,) structured array of
+    ``rec_dtype`` (unlisted bytes zero), or None when the native library is
+    unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_fields = len(fields)
+    rec_len = rec_dtype.itemsize
+    ptrs = (ctypes.c_void_p * n_fields)()
+    keep = []  # hold source buffers alive across the call
+    for i, f in enumerate(fields):
+        arr = f[0]
+        if f[1] == 0 and arr.size < 1:
+            raise ValueError("broadcast field needs at least one element")
+        if f[7] + _TYPE_SIZE[f[8]] > rec_len:
+            raise ValueError("field table writes past the record length")
+        if f[4] != 0 and f[2] >= 8:
+            raise ValueError("bitfield insert requires an integral source")
+        keep.append(arr)
+        ptrs[i] = arr.__array_interface__["data"][0]
+    src_stride = np.asarray([f[1] for f in fields], np.int64)
+    src_type = np.asarray([f[2] for f in fields], np.int32)
+    shift = np.asarray([f[3] for f in fields], np.int32)
+    mask = np.asarray([f[4] for f in fields], np.uint64)
+    scale = np.asarray([f[5] for f in fields], np.float64)
+    offset = np.asarray([f[6] for f in fields], np.float64)
+    dst_off = np.asarray([f[7] for f in fields], np.int32)
+    dst_type = np.asarray([f[8] for f in fields], np.int32)
+    out = np.zeros(n * rec_len, dtype=np.uint8)  # zeroed: OR targets + gaps
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.las_pack_records(
+        ptrs,
+        src_stride.ctypes.data_as(i64p),
+        src_type.ctypes.data_as(i32p),
+        shift.ctypes.data_as(i32p),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        scale.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        offset.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        dst_off.ctypes.data_as(i32p),
+        dst_type.ctypes.data_as(i32p),
+        ctypes.c_int32(n_fields), ctypes.c_int64(n),
+        ctypes.c_int32(rec_len), ctypes.c_int32(n_threads),
+        _u8ptr(out),
+    )
+    del keep
+    return out.view(rec_dtype)
+
+
+def native_scatter_add_rows(
+    plane: np.ndarray,      # (N, C) f32, C-contiguous
+    idx: np.ndarray,        # (R,) int64, unique within this call
+    src: np.ndarray,        # (R, C) f32 or f16, C-contiguous
+    n_threads: int = 0,
+) -> bool:
+    """plane[idx] += src, thread-parallel (f16 src upcast in-flight).
+    Returns False when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    if src.dtype == np.float16:
+        src_type = 10
+    elif src.dtype == np.float32:
+        src_type = 8
+    else:
+        return False
+    assert plane.flags.c_contiguous and src.flags.c_contiguous
+    assert plane.shape[1] == src.shape[1] and idx.dtype == np.int64
+    lib.scatter_add_rows(
+        plane.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(idx)),
+        ctypes.c_void_p(src.__array_interface__["data"][0]),
+        ctypes.c_int32(src_type), ctypes.c_int32(src.shape[1]),
+        ctypes.c_int32(n_threads),
+    )
+    return True
+
+
+def native_logits_finalize(
+    logits: np.ndarray,       # (N, C) f32, C-contiguous
+    class_map: np.ndarray,    # (C,) u8 — consecutive index -> class code
+    want_preds: bool = True,
+    want_entropy: bool = True,
+    n_threads: int = 0,
+):
+    """Fused softmax + argmax-map + entropy over merged logits.
+
+    Returns (probas (N, C) f32, preds (N,) u8 | None, entropy (N,) f32 |
+    None), or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    assert logits.flags.c_contiguous and logits.dtype == np.float32
+    n, c = logits.shape
+    class_map = np.ascontiguousarray(class_map, dtype=np.uint8)
+    assert len(class_map) == c
+    probas = np.empty((n, c), dtype=np.float32)
+    preds = np.empty(n, dtype=np.uint8) if want_preds else None
+    entropy = np.empty(n, dtype=np.float32) if want_entropy else None
+    fp = ctypes.POINTER(ctypes.c_float)
+    lib.logits_finalize(
+        logits.ctypes.data_as(fp), ctypes.c_int64(n), ctypes.c_int32(c),
+        _u8ptr(class_map),
+        _u8ptr(preds) if preds is not None else None,
+        entropy.ctypes.data_as(fp) if entropy is not None else None,
+        probas.ctypes.data_as(fp), ctypes.c_int32(n_threads),
+    )
+    return probas, preds, entropy
 
 
 def native_crop_square(

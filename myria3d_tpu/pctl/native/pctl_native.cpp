@@ -21,6 +21,7 @@
 #include <cstring>
 #include <numeric>
 #include <thread>
+#include <type_traits>
 #include <vector>
 
 extern "C" {
@@ -286,6 +287,97 @@ void unpack_dispatch(int32_t src_type, int32_t dst_type, const uint8_t* rec,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Typed columns -> packed LAS point records (the write-side mirror).
+//
+// write_las's numpy path assigns ~17 full-array strided columns into a
+// 30-71 B record buffer (measured 88.7 s for a 17 M-point predict output
+// on one core); this kernel packs every field in one thread-parallel pass.
+// Table semantics (one row per record field; Python builds it from the
+// point-format dtype — pctl/io/las.py::_native_pack_table):
+//   src       column base pointer; src_stride 0 broadcasts a constant
+//   src_type  same enum as the unpack kernel
+//   mask/shift  bitfield INSERT: dst |= ((u64)v & mask) << shift
+//               (dst buffer must be pre-zeroed; integral sources only)
+//   scale/offset  inverse grid affine: dst = (DST)(i64)nearbyint(
+//               ((double)v - offset) / scale) — nearbyint under the
+//               default FE_TONEAREST mode = numpy's round-half-to-even
+//   else      plain static_cast (numpy astype semantics)
+// ---------------------------------------------------------------------------
+
+template <typename SRC, typename DST>
+void pack_field_block(const uint8_t* src, int64_t src_stride, int64_t cnt,
+                      int32_t shift, uint64_t mask, double scale,
+                      double offset, uint8_t* dst, int64_t rec_len) {
+  if (mask) {  // bitfield insert (integral src AND dst, by construction)
+    if constexpr (std::is_integral_v<DST> && std::is_integral_v<SRC>) {
+      for (int64_t i = 0; i < cnt; ++i) {
+        SRC t;
+        std::memcpy(&t, src + i * src_stride, sizeof(SRC));
+        DST cur;
+        std::memcpy(&cur, dst + i * rec_len, sizeof(DST));
+        const uint64_t u = (((uint64_t)(int64_t)t) & mask) << shift;
+        cur = static_cast<DST>(cur | static_cast<DST>(u));
+        std::memcpy(dst + i * rec_len, &cur, sizeof(DST));
+      }
+    }
+  } else if (scale != 0.0) {  // inverse grid affine (XYZ)
+    for (int64_t i = 0; i < cnt; ++i) {
+      SRC t;
+      std::memcpy(&t, src + i * src_stride, sizeof(SRC));
+      const double r = std::nearbyint(((double)t - offset) / scale);
+      const DST d = static_cast<DST>((int64_t)r);
+      std::memcpy(dst + i * rec_len, &d, sizeof(DST));
+    }
+  } else {  // plain convert/copy
+    for (int64_t i = 0; i < cnt; ++i) {
+      SRC t;
+      std::memcpy(&t, src + i * src_stride, sizeof(SRC));
+      const DST d = static_cast<DST>(t);
+      std::memcpy(dst + i * rec_len, &d, sizeof(DST));
+    }
+  }
+}
+
+template <typename SRC>
+void pack_dispatch_dst(int32_t dst_type, const uint8_t* src,
+                       int64_t src_stride, int64_t cnt, int32_t shift,
+                       uint64_t mask, double scale, double offset,
+                       uint8_t* dst, int64_t rec_len) {
+  switch (dst_type) {
+    case 0: pack_field_block<SRC, uint8_t>(src, src_stride, cnt, shift, mask, scale, offset, dst, rec_len); break;
+    case 1: pack_field_block<SRC, int8_t>(src, src_stride, cnt, shift, mask, scale, offset, dst, rec_len); break;
+    case 2: pack_field_block<SRC, uint16_t>(src, src_stride, cnt, shift, mask, scale, offset, dst, rec_len); break;
+    case 3: pack_field_block<SRC, int16_t>(src, src_stride, cnt, shift, mask, scale, offset, dst, rec_len); break;
+    case 4: pack_field_block<SRC, uint32_t>(src, src_stride, cnt, shift, mask, scale, offset, dst, rec_len); break;
+    case 5: pack_field_block<SRC, int32_t>(src, src_stride, cnt, shift, mask, scale, offset, dst, rec_len); break;
+    case 6: pack_field_block<SRC, uint64_t>(src, src_stride, cnt, shift, mask, scale, offset, dst, rec_len); break;
+    case 7: pack_field_block<SRC, int64_t>(src, src_stride, cnt, shift, mask, scale, offset, dst, rec_len); break;
+    case 8: pack_field_block<SRC, float>(src, src_stride, cnt, shift, mask, scale, offset, dst, rec_len); break;
+    case 9: pack_field_block<SRC, double>(src, src_stride, cnt, shift, mask, scale, offset, dst, rec_len); break;
+    default: break;
+  }
+}
+
+void pack_dispatch(int32_t src_type, int32_t dst_type, const uint8_t* src,
+                   int64_t src_stride, int64_t cnt, int32_t shift,
+                   uint64_t mask, double scale, double offset, uint8_t* dst,
+                   int64_t rec_len) {
+  switch (src_type) {
+    case 0: pack_dispatch_dst<uint8_t>(dst_type, src, src_stride, cnt, shift, mask, scale, offset, dst, rec_len); break;
+    case 1: pack_dispatch_dst<int8_t>(dst_type, src, src_stride, cnt, shift, mask, scale, offset, dst, rec_len); break;
+    case 2: pack_dispatch_dst<uint16_t>(dst_type, src, src_stride, cnt, shift, mask, scale, offset, dst, rec_len); break;
+    case 3: pack_dispatch_dst<int16_t>(dst_type, src, src_stride, cnt, shift, mask, scale, offset, dst, rec_len); break;
+    case 4: pack_dispatch_dst<uint32_t>(dst_type, src, src_stride, cnt, shift, mask, scale, offset, dst, rec_len); break;
+    case 5: pack_dispatch_dst<int32_t>(dst_type, src, src_stride, cnt, shift, mask, scale, offset, dst, rec_len); break;
+    case 6: pack_dispatch_dst<uint64_t>(dst_type, src, src_stride, cnt, shift, mask, scale, offset, dst, rec_len); break;
+    case 7: pack_dispatch_dst<int64_t>(dst_type, src, src_stride, cnt, shift, mask, scale, offset, dst, rec_len); break;
+    case 8: pack_dispatch_dst<float>(dst_type, src, src_stride, cnt, shift, mask, scale, offset, dst, rec_len); break;
+    case 9: pack_dispatch_dst<double>(dst_type, src, src_stride, cnt, shift, mask, scale, offset, dst, rec_len); break;
+    default: break;
+  }
+}
+
 constexpr int64_t kUnpackBlock = 32768;  // records per L2-resident block
 
 void unpack_records_range(const uint8_t* rec0, int64_t lo, int64_t hi,
@@ -307,9 +399,60 @@ void unpack_records_range(const uint8_t* rec0, int64_t lo, int64_t hi,
   }
 }
 
+void pack_records_range(const uint8_t* const* srcs, int64_t lo, int64_t hi,
+                        const int64_t* src_strides, const int32_t* src_types,
+                        const int32_t* shifts, const uint64_t* masks,
+                        const double* scales, const double* offsets,
+                        const int32_t* dst_offs, const int32_t* dst_types,
+                        int32_t n_fields, int64_t rec_len, uint8_t* out) {
+  for (int64_t b = lo; b < hi; b += kUnpackBlock) {
+    const int64_t cnt = std::min<int64_t>(kUnpackBlock, hi - b);
+    uint8_t* rec = out + b * rec_len;
+    for (int32_t f = 0; f < n_fields; ++f) {
+      pack_dispatch(src_types[f], dst_types[f], srcs[f] + b * src_strides[f],
+                    src_strides[f], cnt, shifts[f], masks[f], scales[f],
+                    offsets[f], rec + dst_offs[f], rec_len);
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
+
+// Typed columns -> packed LAS records (field table from Python; see
+// pctl/native/__init__.py::native_las_pack_records for the contract).
+// `out` must be pre-zeroed (bitfield inserts OR into their bytes).
+void las_pack_records(const uint8_t* const* srcs, const int64_t* src_strides,
+                      const int32_t* src_types, const int32_t* shifts,
+                      const uint64_t* masks, const double* scales,
+                      const double* offsets, const int32_t* dst_offs,
+                      const int32_t* dst_types, int32_t n_fields, int64_t n,
+                      int32_t rec_len, int32_t n_threads, uint8_t* out) {
+  if (n <= 0 || n_fields <= 0) return;
+  int64_t nt = n_threads > 0
+                   ? n_threads
+                   : (int64_t)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  nt = std::min<int64_t>(nt, (n + (1 << 18) - 1) >> 18);  // >=256k rows/thread
+  if (nt <= 1) {
+    pack_records_range(srcs, 0, n, src_strides, src_types, shifts, masks,
+                       scales, offsets, dst_offs, dst_types, n_fields,
+                       rec_len, out);
+    return;
+  }
+  std::vector<std::thread> workers;
+  const int64_t per = (n + nt - 1) / nt;
+  for (int64_t t = 0; t < nt; ++t) {
+    const int64_t lo = t * per;
+    const int64_t hi = std::min<int64_t>(lo + per, n);
+    if (lo >= hi) break;
+    workers.emplace_back(pack_records_range, srcs, lo, hi, src_strides,
+                         src_types, shifts, masks, scales, offsets, dst_offs,
+                         dst_types, n_fields, (int64_t)rec_len, out);
+  }
+  for (auto& w : workers) w.join();
+}
 
 // Generic packed-record -> typed-column unpack (field table from Python;
 // see pctl/native/__init__.py::native_las_unpack_records for the contract).
@@ -342,6 +485,130 @@ void las_unpack_records(const uint8_t* records, int64_t n, int32_t rec_len,
                          (int64_t)rec_len, src_off, src_type, shift, mask,
                          scale, offset, dst_off, dst_type, n_fields,
                          (int64_t)out_stride, out);
+  }
+  for (auto& w : workers) w.join();
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Predict-path host reductions: overlap scatter-merge + logits finalize.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// plane[idx[r]] += src[r] row-wise. Row indices within one call are unique
+// (each subtile crop indexes an original point at most once), so splitting
+// the ROW RANGE across threads is race-free. f16 source upcasts in-flight
+// (the device ships f16 logits; this deletes the full-batch astype pass).
+template <typename SRC>
+void scatter_add_rows_range(float* plane, const int64_t* idx, int64_t lo,
+                            int64_t hi, const SRC* src, int32_t c) {
+  for (int64_t r = lo; r < hi; ++r) {
+    float* dst = plane + idx[r] * (int64_t)c;
+    const SRC* s = src + r * (int64_t)c;
+    for (int32_t j = 0; j < c; ++j) dst[j] += (float)s[j];
+  }
+}
+
+template <typename SRC>
+void scatter_add_rows_impl(float* plane, const int64_t* idx, int64_t n_rows,
+                           const SRC* src, int32_t c, int32_t n_threads) {
+  int64_t nt = n_threads > 0
+                   ? n_threads
+                   : (int64_t)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  nt = std::min<int64_t>(nt, (n_rows + (1 << 16) - 1) >> 16);  // >=64k rows
+  if (nt <= 1) {
+    scatter_add_rows_range<SRC>(plane, idx, 0, n_rows, src, c);
+    return;
+  }
+  std::vector<std::thread> workers;
+  const int64_t per = (n_rows + nt - 1) / nt;
+  for (int64_t t = 0; t < nt; ++t) {
+    const int64_t lo = t * per;
+    const int64_t hi = std::min<int64_t>(lo + per, n_rows);
+    if (lo >= hi) break;
+    workers.emplace_back(scatter_add_rows_range<SRC>, plane, idx, lo, hi,
+                         src, c);
+  }
+  for (auto& w : workers) w.join();
+}
+
+// One pass over (n, c) f32 logits: softmax -> probas, argmax -> mapped
+// class code, entropy = log z + m - sum(p * logit) clipped at 0 (the
+// same stable formulation as the numpy path it replaces).
+void logits_finalize_range(const float* logits, int64_t lo, int64_t hi,
+                           int32_t c, const uint8_t* class_map,
+                           uint8_t* preds, float* entropy, float* probas) {
+  for (int64_t r = lo; r < hi; ++r) {
+    const float* l = logits + r * (int64_t)c;
+    float m = l[0];
+    int32_t am = 0;
+    for (int32_t j = 1; j < c; ++j)
+      if (l[j] > m) { m = l[j]; am = j; }
+    float z = 0.0f;
+    float* p = probas + r * (int64_t)c;
+    for (int32_t j = 0; j < c; ++j) {
+      p[j] = std::exp(l[j] - m);
+      z += p[j];
+    }
+    float dot = 0.0f;
+    const float inv_z = 1.0f / z;
+    for (int32_t j = 0; j < c; ++j) {
+      p[j] *= inv_z;
+      dot += p[j] * l[j];
+    }
+    if (preds) preds[r] = class_map[am];
+    if (entropy) {
+      const float h = std::log(z) + m - dot;
+      entropy[r] = h > 0.0f ? h : 0.0f;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Overlap merge: plane[idx[r], :] += src[r, :] (unique rows per call).
+// src_type: 8 = f32, 10 = IEEE half (the wire format of the D2H logits).
+void scatter_add_rows(float* plane, const int64_t* idx, int64_t n_rows,
+                      const void* src, int32_t src_type, int32_t c,
+                      int32_t n_threads) {
+  if (n_rows <= 0 || c <= 0) return;
+  if (src_type == 8) {
+    scatter_add_rows_impl<float>(plane, idx, n_rows, (const float*)src, c,
+                                 n_threads);
+  } else if (src_type == 10) {
+    scatter_add_rows_impl<_Float16>(plane, idx, n_rows, (const _Float16*)src,
+                                    c, n_threads);
+  }
+}
+
+// Fused softmax/argmax/entropy over (n, c) f32 logits (thread-parallel).
+// `preds`/`entropy` may be null to skip those outputs; `probas` is required.
+void logits_finalize(const float* logits, int64_t n, int32_t c,
+                     const uint8_t* class_map, uint8_t* preds, float* entropy,
+                     float* probas, int32_t n_threads) {
+  if (n <= 0 || c <= 0) return;
+  int64_t nt = n_threads > 0
+                   ? n_threads
+                   : (int64_t)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  nt = std::min<int64_t>(nt, (n + (1 << 18) - 1) >> 18);
+  if (nt <= 1) {
+    logits_finalize_range(logits, 0, n, c, class_map, preds, entropy, probas);
+    return;
+  }
+  std::vector<std::thread> workers;
+  const int64_t per = (n + nt - 1) / nt;
+  for (int64_t t = 0; t < nt; ++t) {
+    const int64_t lo = t * per;
+    const int64_t hi = std::min<int64_t>(lo + per, n);
+    if (lo >= hi) break;
+    workers.emplace_back(logits_finalize_range, logits, lo, hi, c, class_map,
+                         preds, entropy, probas);
   }
   for (auto& w : workers) w.join();
 }

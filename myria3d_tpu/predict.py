@@ -168,4 +168,8 @@ def predict(config, phases: Optional[dict] = None) -> Optional[str]:
             n_batches=n_batches,
             finalize_write_s=round(t_reduce, 2),
         )
+        phases.update(
+            {"finalize_" + k: v
+             for k, v in getattr(itp, "finalize_phases", {}).items()}
+        )
     return out_path

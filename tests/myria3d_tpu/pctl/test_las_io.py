@@ -530,3 +530,41 @@ def test_native_unpack_parity_with_numpy_path(tmp_path, fmt, compressed, monkeyp
         np.testing.assert_array_equal(native_64[name], numpy_64[name], err_msg=name)
     for name in numpy_32.dtype.names:
         np.testing.assert_array_equal(native_32[name], numpy_32[name], err_msg=name)
+
+
+@pytest.mark.parametrize("fmt,compressed", [(3, False), (6, False), (8, False), (3, True)])
+def test_native_pack_byte_parity_with_numpy_path(tmp_path, fmt, compressed, monkeypatch):
+    """The fused C++ record pack (``pctl_native.las_pack_records``) must
+    produce a byte-identical FILE to the generic numpy write path — headers,
+    bitfield packing, XYZ grid rounding (half-to-even), extra dims, LAS and
+    LAZ (the codec consumes the packed records)."""
+    import myria3d_tpu.pctl.io.las as las_mod
+    from myria3d_tpu.pctl import native as native_mod
+
+    if native_mod.get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    n = 3000
+    rng = np.random.default_rng(5)
+    pts = _synthetic_points(n, with_colors=fmt in (2, 3, 7, 8))
+    header = LasHeader(
+        version=(1, 4) if fmt >= 6 else (1, 2), point_format=fmt,
+        scales=(0.01, 0.01, 0.01), offsets=(862000.0, 6652000.0, 0.0),
+    )
+    extra = {
+        "building": rng.random(n).astype(np.float32),
+        "PredictedClassification": rng.integers(0, 10, n).astype(np.uint8),
+        "entropy": rng.random(n).astype(np.float32),
+    }
+    name = "p.laz" if compressed else "p.las"
+    p_nat = str(tmp_path / ("nat_" + name))
+    p_np = str(tmp_path / ("np_" + name))
+    write_las(p_nat, pts, header, extra_columns=extra)
+    monkeypatch.setattr(las_mod, "_native_pack_table", lambda *a, **k: None)
+    write_las(p_np, pts, header, extra_columns=extra)
+
+    with open(p_nat, "rb") as f:
+        a = f.read()
+    with open(p_np, "rb") as f:
+        b = f.read()
+    assert a == b
