@@ -70,6 +70,8 @@ class Model:
         self.neural_net_hparams = dict(neural_net_hparams)
         neural_net_class = get_neural_net_class(neural_net_class_name)
         self.net = neural_net_class(**self.neural_net_hparams)
+        # exact lax.top_k everywhere (parity path); see set_exact_knn
+        self.exact_knn = bool(self.neural_net_hparams.get("exact_knn", False))
 
         self.num_classes = int(
             num_classes or self.neural_net_hparams.get("num_classes")
@@ -134,6 +136,25 @@ class Model:
             batch_stats=batch_stats,
             opt_state=opt_state,
         )
+
+    def set_exact_knn(self, enable: bool = True) -> None:
+        """Route every kNN search to exact ``lax.top_k`` instead of the
+        binned Pallas / ``approx_min_k`` kernels (recall ≈0.98): the
+        encoder graph + decoder upsampling (net rebuild when the net class
+        exposes ``exact_knn`` — RandLA-Net does) and the non-fused
+        full-cloud interpolation search. The reference is exact everywhere
+        (``torch_cluster.knn``, ``pyg_randla_net.py:14,180``). Parameters
+        don't depend on these flags, so existing states stay valid; jitted
+        step caches are dropped (``predict.exact_knn``)."""
+        import dataclasses as _dc
+
+        self.exact_knn = bool(enable)
+        if "exact_knn" in {f.name for f in _dc.fields(type(self.net))}:
+            self.neural_net_hparams["exact_knn"] = bool(enable)
+            self.net = get_neural_net_class(self.neural_net_class_name)(
+                **self.neural_net_hparams
+            )
+        self._jitted.clear()
 
     def num_params(self, state: TrainState) -> int:
         return sum(int(p.size) for p in jax.tree_util.tree_leaves(state.params))
@@ -330,6 +351,9 @@ class Model:
             full = knn_interpolate(
                 logits, sampled_pos, mask, full_pos, full_mask,
                 k=self.interpolation_k, fused_payload=fused,
+                # fully-exact neighbor SEARCH only on the non-fused
+                # (exact_interpolation) path when predict.exact_knn is on
+                exact=(not fused) and self.exact_knn,
             )
             # f16 on the wire: the (B, M, C) full-cloud logits are the
             # predict loop's device->host payload; halving it matters on

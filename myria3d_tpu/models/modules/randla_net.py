@@ -102,12 +102,15 @@ class DilatedResidualBlock(nn.Module):
     d_out: int
     bn_momentum: float = 0.01
     dtype: jnp.dtype = jnp.float32
+    exact_knn: bool = False
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, pos: jnp.ndarray, mask: jnp.ndarray, train: bool
     ) -> jnp.ndarray:
-        idx, _, neigh_valid = knn_graph(pos, mask, self.num_neighbors)
+        idx, _, neigh_valid = knn_graph(
+            pos, mask, self.num_neighbors, exact=self.exact_knn
+        )
         # expose the graph (apply with mutable=["intermediates"]) — reused
         # by graph-interpolation at predict time (ops/graph_interp.py)
         self.sow("intermediates", "knn_graph", (idx, neigh_valid))
@@ -179,6 +182,12 @@ class RandLANet(nn.Module):
     # instead). Opt-in: `model.neural_net_hparams.remat=true` — the
     # production batch-10 config doesn't need it.
     remat: bool = False
+    # Exact lax.top_k neighbor selection everywhere instead of the binned
+    # Pallas / approx_min_k kernels (recall ≈0.98) — the reference uses
+    # exact kNN throughout (torch_cluster.knn, pyg_randla_net.py:14,180).
+    # ~20x slower selection on TPU; meant for checkpoint-parity evaluation
+    # (predict.exact_knn) and approximation-sensitivity measurements.
+    exact_knn: bool = False
 
     @nn.compact
     def __call__(
@@ -211,7 +220,8 @@ class RandLANet(nn.Module):
         for i, d_out in enumerate(widths):
             x = block_cls(
                 self.num_neighbors, d_out, bn_momentum=self.bn_momentum,
-                dtype=self.dtype, name=f"block{i + 1}",
+                dtype=self.dtype, exact_knn=self.exact_knn,
+                name=f"block{i + 1}",
             )(x, pos, mask, train)
             if i == 0:
                 skips.append((x, pos, mask))
@@ -243,7 +253,8 @@ class RandLANet(nn.Module):
         for j, width in enumerate(fp_widths):
             x_skip, pos_skip, mask_skip = skips[len(skips) - 1 - j]
             x = knn_interpolate(
-                x, pos, mask, pos_skip, mask_skip, k=1
+                x, pos, mask, pos_skip, mask_skip, k=1,
+                exact=self.exact_knn,
             ).astype(self.dtype)
             x = jnp.concatenate([x, x_skip], axis=-1)
             x = SharedMLP([width], bn_momentum=self.bn_momentum, dtype=self.dtype,

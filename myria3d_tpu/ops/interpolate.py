@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from myria3d_tpu.ops.knn import gather_neighbors, knn
 
 
-@functools.partial(jax.jit, static_argnames=("k", "fused_payload"))
+@functools.partial(jax.jit, static_argnames=("k", "fused_payload", "exact"))
 def knn_interpolate(
     x: jnp.ndarray,            # (B, Ns, C) features at source points
     pos_src: jnp.ndarray,      # (B, Ns, 3)
@@ -30,15 +30,21 @@ def knn_interpolate(
     tgt_mask: Optional[jnp.ndarray],  # (B, Nt) bool
     k: int = 3,
     fused_payload: bool = False,
+    exact: bool = False,
 ) -> jnp.ndarray:
     """Interpolate source features onto target points. Returns (B, Nt, C).
 
     ``fused_payload=True`` opts into the fused Pallas kNN+weighting kernel
     (predict/eval only: it has no AD rule, so it must never enter a
     differentiated graph — training call sites such as the PointNet2 FP
-    modules keep the default).
+    modules keep the default). ``exact=True`` forces exact ``lax.top_k``
+    neighbor selection (disables the fused/binned kernels) — the fully-
+    exact parity path (``predict.exact_knn``; the reference's
+    ``knn_interpolate`` is exact, ``pyg_randla_net.py:14``).
     """
-    if k == 1:
+    if exact:
+        fused_payload = False
+    if k == 1 and not exact:
         from myria3d_tpu.ops.pallas_nn1 import nn1_available
 
         if nn1_available():
@@ -65,7 +71,9 @@ def knn_interpolate(
         if tgt_mask is not None:
             out = jnp.where(tgt_mask[..., None], out, 0.0)
         return out
-    idx, d2, neigh_valid = knn(pos_tgt, pos_src, src_mask, k, query_mask=tgt_mask)
+    idx, d2, neigh_valid = knn(
+        pos_tgt, pos_src, src_mask, k, query_mask=tgt_mask, exact=exact
+    )
     w = 1.0 / jnp.maximum(d2, 1e-16)                    # (B, Nt, K)
     w = jnp.where(neigh_valid, w, 0.0)
     # NOTE: a channels-first (B, C, K, Nt) gather was tried here (like the

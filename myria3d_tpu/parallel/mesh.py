@@ -41,25 +41,62 @@ def replicate_to_mesh(tree: Any, mesh: Mesh) -> Any:
     return jax.device_put(tree, sharding)
 
 
+def _row_fill_value(key: str, dtype: np.dtype):
+    """Fill for padded batch rows: targets get the ignore code so masked
+    CE/metrics skip them; masks get False; everything else zeros."""
+    if key == "y" or key.endswith("_y"):
+        from myria3d_tpu.pctl.batching import IGNORE_INDEX
+
+        return IGNORE_INDEX
+    return False if np.issubdtype(dtype, np.bool_) else 0
+
+
+def pad_rows(arr: np.ndarray, multiple: int, fill=0) -> np.ndarray:
+    """Pad the leading (batch) axis up to the next multiple with constant
+    filler rows. No-op when already aligned."""
+    arr = np.asarray(arr)
+    b = arr.shape[0]
+    target = -(-b // multiple) * multiple
+    if target == b:
+        return arr
+    pad = np.full((target - b,) + arr.shape[1:], fill, dtype=arr.dtype)
+    return np.concatenate([arr, pad], axis=0)
+
+
 def shard_batch(arrays: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, Any]:
     """Place batch arrays sharded on the leading (batch) axis.
 
-    Requires the batch dim to divide the mesh size — the padded loader
-    always emits exactly ``batch_size`` rows, so choose batch_size as a
-    multiple of the device count.
+    The batch dim is padded up to the next multiple of the device count
+    with all-masked filler rows (``y`` rows carry the ignore code, masks
+    are False) — the same filler semantics the padded loader already uses
+    for end-of-epoch stubs — so *every* chip participates at any batch
+    size instead of capping the mesh to a divisor of the batch
+    (reference DDP uses all requested devices,
+    ``configs/experiment/RandLaNet_base_run_FR-MultiGPU.yaml:9-13``).
 
     Multi-host (num_nodes > 1): each process passes its *local* shard of
-    the global batch; ``make_array_from_process_local_data`` assembles the
-    logically-global array (replaces the reference's DistributedSampler +
-    DDP input path, SURVEY.md §5.8).
+    the global batch, padded to a multiple of its local device count;
+    ``make_array_from_process_local_data`` assembles the logically-global
+    array (replaces the reference's DistributedSampler + DDP input path,
+    SURVEY.md §5.8).
     """
     sharding = NamedSharding(mesh, P(DATA_AXIS))
     if jax.process_count() > 1:
+        n_local = max(1, mesh.local_mesh.size)
         return {
-            k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+            k: jax.make_array_from_process_local_data(
+                sharding,
+                pad_rows(v, n_local, _row_fill_value(k, np.asarray(v).dtype)),
+            )
             for k, v in arrays.items()
         }
-    return {k: jax.device_put(v, sharding) for k, v in arrays.items()}
+    n = int(mesh.devices.size)
+    return {
+        k: jax.device_put(
+            pad_rows(v, n, _row_fill_value(k, np.asarray(v).dtype)), sharding
+        )
+        for k, v in arrays.items()
+    }
 
 
 def _shardings(mesh: Mesh):
@@ -111,17 +148,26 @@ def sharded_train_step(model, mesh: Mesh, with_lr_mult: bool = False,
     import optax
 
     grad_step = model.build_grad_step()
-    n_dev = int(mesh.shape[DATA_AXIS])
 
     def per_shard(state, x, pos, y, mask, rng, lr_mult=None):
         loss, grads, new_stats, logits = grad_step(state, x, pos, y, mask, rng)
         # Params enter the shard_map replicated (P()), so AD already psums
-        # their cotangent across the data axis — dividing by the axis size
-        # yields the DDP gradient mean. Loss/BN stats are per-shard values
-        # and need an explicit pmean.
-        grads = jax.tree_util.tree_map(lambda g: g / n_dev, grads)
-        loss = jax.lax.pmean(loss, DATA_AXIS)
-        new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
+        # their cotangent across the data axis — dividing by the number of
+        # shards that carry real points yields the DDP gradient mean.
+        # Loss/BN stats are per-shard values and need an explicit weighted
+        # reduce: shards whose slice is entirely loader/mesh filler rows
+        # (batch padded up to the device count) contribute zero grads and
+        # degenerate (0-count) BN moments — excluding them keeps parity
+        # with reference DDP, where every rank always holds real samples.
+        import jax.numpy as jnp
+
+        w = jnp.any(mask).astype(jnp.float32)  # this shard has real points
+        n_valid = jnp.maximum(jax.lax.psum(w, DATA_AXIS), 1.0)
+        grads = jax.tree_util.tree_map(lambda g: g / n_valid, grads)
+        loss = jax.lax.psum(loss * w, DATA_AXIS) / n_valid
+        new_stats = jax.tree_util.tree_map(
+            lambda s: jax.lax.psum(s * w, DATA_AXIS) / n_valid, new_stats
+        )
         updates, new_opt_state = model.tx.update(
             grads, state.opt_state, state.params
         )
@@ -219,9 +265,9 @@ class ParallelSteps:
     """Mesh-backed drop-in replacements for the Model's jitted steps.
 
     ``auto_parallel(model, batch_size)`` returns one of these when more
-    than one device is usable (device count capped to the largest divisor
-    of the batch size — the loader always emits exactly ``batch_size``
-    rows), else None and callers use the single-chip steps.
+    than one device is usable, else None and callers use the single-chip
+    steps. ``place_batch`` pads the batch dim up to the device count with
+    all-masked filler rows, so any batch size uses every chip.
     """
 
     def __init__(self, model, mesh: Mesh, sync_bn: bool = True):
@@ -252,13 +298,37 @@ class ParallelSteps:
     def place_batch(self, arrays: Dict[str, np.ndarray]) -> Dict[str, Any]:
         return shard_batch(arrays, self.mesh)
 
+    @property
+    def batch_multiple(self) -> int:
+        """Row alignment ``place_batch`` pads the batch dim to — callers
+        holding host-side per-row arrays (e.g. full-cloud targets in
+        ``Trainer.test``) pad theirs to match the device-side batch."""
+        if jax.process_count() > 1:
+            return max(1, int(self.mesh.local_mesh.size))
+        return int(self.mesh.devices.size)
+
+    def pad_rows(self, arr: np.ndarray, fill=0) -> np.ndarray:
+        return pad_rows(arr, self.batch_multiple, fill)
+
 
 def auto_parallel(model, batch_size: int, devices: Any = "auto",
                   sync_bn: bool = True) -> Optional[ParallelSteps]:
-    """Build ParallelSteps over the local devices (None for single-chip)."""
+    """Build ParallelSteps over the local devices (None for single-chip).
+
+    All requested devices are used regardless of batch size —
+    ``place_batch`` pads the batch dim to the device count with masked
+    filler rows (reference DDP likewise uses every requested device,
+    ``configs/experiment/RandLaNet_base_run_FR-MultiGPU.yaml:9-13``).
+    ``batch_size`` only caps the mesh so it never exceeds one sample per
+    chip's worth of padding waste beyond the batch itself.
+    """
     avail = jax.devices()
     want = len(avail) if devices in (None, "auto") else min(int(devices), len(avail))
-    n = max(d for d in range(1, want + 1) if batch_size % d == 0)
+    if jax.process_count() > 1:
+        # multi-host: the mesh must cover every process's devices
+        n = want
+    else:
+        n = min(want, max(1, int(batch_size)))
     if n <= 1:
         return None
     return ParallelSteps(model, make_mesh(n), sync_bn=sync_bn)

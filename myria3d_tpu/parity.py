@@ -139,6 +139,10 @@ def run_parity(
         "predict.ckpt_path": ckpt_dir,
         "predict.output_dir": os.path.join(output_dir, "predicted"),
         "predict.exact_interpolation": True,
+        # fully-exact forward: exact lax.top_k in the encoder kNN graph,
+        # decoder upsampling AND the interpolation search — matches the
+        # reference's exact torch_cluster kNN (pyg_randla_net.py:14,180)
+        "predict.exact_knn": True,
     }
     if epsg is not None:
         overrides["datamodule.epsg"] = epsg

@@ -138,6 +138,26 @@ def collate_padded(
     )
 
 
+def filler_batch(
+    batch_size: int, n_pad: int, num_features: int
+) -> PointCloudBatch:
+    """An all-masked batch: zero positions/features, ignore-coded targets,
+    False masks. Emitted by the process-sharded loader when a rank's index
+    group collates to nothing (every sample filtered to None) so that rank
+    still joins the global step — collectives across processes must see the
+    same number of batches on every rank."""
+    B, n = int(batch_size), int(n_pad)
+    return PointCloudBatch(
+        pos=np.zeros((B, n, 3), np.float32),
+        x=np.zeros((B, n, int(num_features)), np.float32),
+        y=np.full((B, n), IGNORE_INDEX, np.int32),
+        mask=np.zeros((B, n), bool),
+        num_valid=np.zeros(B, np.int32),
+        idx_in_original_cloud=[None] * B,
+        copies=[{} for _ in range(B)],
+    )
+
+
 def pad_full_cloud(
     copies: List[Dict[str, np.ndarray]],
     buckets: Sequence[int] = DEFAULT_FULL_BUCKETS,

@@ -92,16 +92,27 @@ class HDF5Dataset:
         self.store = HDF5SampleStore(hdf5_file_path)
 
         if las_paths_by_split_dict:
-            create_hdf5(
-                las_paths_by_split_dict,
-                hdf5_file_path,
-                epsg,
-                tile_width,
-                subtile_width,
-                pre_filter,
-                subtile_overlap_train,
-                points_pre_transform,
-            )
+            # Multi-host: only process 0 builds the cache (reference rank
+            # guard, ``myria3d/pctl/datamodule/hdf5.py:104``); everyone else
+            # waits at a collective barrier before opening it.
+            import jax
+
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                if jax.process_index() == 0:
+                    create_hdf5(
+                        las_paths_by_split_dict, hdf5_file_path, epsg,
+                        tile_width, subtile_width, pre_filter,
+                        subtile_overlap_train, points_pre_transform,
+                    )
+                multihost_utils.sync_global_devices("myria3d_tpu_hdf5_build")
+            else:
+                create_hdf5(
+                    las_paths_by_split_dict, hdf5_file_path, epsg,
+                    tile_width, subtile_width, pre_filter,
+                    subtile_overlap_train, points_pre_transform,
+                )
         elif not _file_exists(hdf5_file_path):
             raise FileNotFoundError(
                 f"No LAS paths given and no precomputed HDF5 at {hdf5_file_path}"

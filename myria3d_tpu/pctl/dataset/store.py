@@ -144,23 +144,46 @@ class HDF5SampleStore:
         return paths
 
     def sample_paths(self) -> List[str]:
-        """All sample paths, cached in memory and inside the file."""
+        """All sample paths, cached in memory and inside the file.
+
+        Reads through a read-only handle so concurrent *processes* (multi-
+        host training shares one cache file) never contend on the HDF5
+        write lock; persisting the index into the file is best-effort and
+        skipped when another process holds the lock."""
         if self._paths_cache is not None:
             return self._paths_cache
-        with h5py.File(self.path, "a") as f:
+        # a sibling process may hold the short-lived write lock below —
+        # retry briefly instead of failing the whole run
+        for attempt in range(50):
+            try:
+                handle = h5py.File(self.path, "r")
+                break
+            except OSError:
+                if attempt == 49:
+                    raise
+                import time
+
+                time.sleep(0.1)
+        with handle as f:
             if INDEX_KEY in f:
                 paths = [
                     p.decode() if isinstance(p, bytes) else str(p)
                     for p in f[INDEX_KEY]
                 ]
-            else:
-                paths = self._walk_sample_paths(f)
-                f.create_dataset(
-                    INDEX_KEY,
-                    (len(paths),),
-                    dtype=h5py.special_dtype(vlen=str),
-                    data=paths,
-                )
+                self._paths_cache = paths
+                return paths
+            paths = self._walk_sample_paths(f)
+        try:
+            with h5py.File(self.path, "a") as f:
+                if INDEX_KEY not in f:
+                    f.create_dataset(
+                        INDEX_KEY,
+                        (len(paths),),
+                        dtype=h5py.special_dtype(vlen=str),
+                        data=paths,
+                    )
+        except OSError:
+            pass  # another process holds the write lock — index stays RAM-only
         self._paths_cache = paths
         return paths
 

@@ -35,6 +35,20 @@ class PaddedBatchLoader:
 
     None samples are dropped; a batch that ends up empty is skipped
     (None-proof semantics). The batch dim is always ``batch_size``.
+
+    Multi-host runs (``jax.process_count() > 1``) shard map-style datasets
+    across processes like torch's DistributedSampler (the reference gets
+    this from Lightning DDP, ``configs/experiment/
+    RandLaNet_base_run_FR-2x3GPUs.yaml:13-18``): every process shuffles the
+    SAME permutation (shared seed + epoch), wrap-pads it to a multiple of
+    the process count, and consumes the ``rank::count`` stride — disjoint
+    samples, identical batch counts. Batches are then formed from *fixed
+    index groups* (a None sample shrinks its batch instead of shifting
+    batch boundaries), padded to one shared top bucket, so every rank's
+    arrays keep identical shapes for ``make_array_from_process_local_data``
+    and the collective step count stays aligned. Set
+    ``shard_by_process=False`` to opt out (or pass explicit
+    ``process_index``/``process_count`` for testing).
     """
 
     def __init__(
@@ -47,6 +61,10 @@ class PaddedBatchLoader:
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         drop_last: bool = False,
         seed: Optional[int] = None,
+        shard_by_process: bool = True,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
+        num_features: Optional[int] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -56,10 +74,92 @@ class PaddedBatchLoader:
         self.buckets = buckets
         self.drop_last = drop_last
         self.seed = seed
+        self.shard_by_process = shard_by_process
+        self.process_index = process_index
+        self.process_count = process_count
+        self._num_features = num_features  # cached for filler batches
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
+
+    def _resolve_process(self):
+        """(rank, count) for input sharding; (0, 1) when not sharding."""
+        if not self.shard_by_process:
+            return 0, 1
+        if self.process_count is not None:
+            return int(self.process_index or 0), int(self.process_count)
+        import jax
+
+        return jax.process_index(), jax.process_count()
+
+    @property
+    def _map_style(self) -> bool:
+        return hasattr(self.dataset, "__getitem__") and hasattr(
+            self.dataset, "__len__"
+        )
+
+    def _local_indices(self, rank: int, count: int) -> np.ndarray:
+        """This process's sample indices: shared permutation, wrap-padded to
+        a multiple of ``count`` (torch DistributedSampler semantics), then
+        the ``rank::count`` stride — len identical on every rank."""
+        n = len(self.dataset)
+        indices = np.arange(n)
+        if self.shuffle:
+            # seed must be common across processes; None would desync ranks
+            rng = np.random.default_rng((self.seed or 0) + self._epoch)
+            rng.shuffle(indices)
+        total = -(-n // count) * count
+        if total > n:
+            indices = np.concatenate([indices, indices[: total - n]])
+        return indices[rank::count]
+
+    def _iter_process_sharded(self, rank: int, count: int) -> Iterator[PointCloudBatch]:
+        from myria3d_tpu.pctl.batching import filler_batch
+
+        local = self._local_indices(rank, count)
+        if len(local) == 0:
+            return
+        groups = [
+            local[i: i + self.batch_size]
+            for i in range(0, len(local), self.batch_size)
+        ]
+        if self.drop_last and len(groups[-1]) < self.batch_size:
+            groups.pop()
+        # one shared bucket: all ranks must pad the point axis identically
+        top_bucket = (self.buckets[-1],)
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending: "queue.Queue" = queue.Queue()
+            it = iter(groups)
+            for g in itertools.islice(it, self.prefetch_factor):
+                pending.put([pool.submit(self.dataset.__getitem__, int(i)) for i in g])
+            while not pending.empty():
+                futs = pending.get()
+                nxt = next(it, None)
+                if nxt is not None:
+                    pending.put(
+                        [pool.submit(self.dataset.__getitem__, int(i)) for i in nxt]
+                    )
+                samples = [f.result() for f in futs]
+                batch = collate_padded(
+                    samples, self.batch_size, top_bucket,
+                    num_features=self._num_features,
+                )
+                if batch is not None:
+                    self._num_features = int(batch.x.shape[2])
+                else:
+                    # every sample in the group filtered out: this rank must
+                    # still join the collective step the other ranks run
+                    if self._num_features is None:
+                        raise RuntimeError(
+                            "Process-sharded loader hit an all-None batch "
+                            "before any sample revealed the feature width; "
+                            "pass num_features= to PaddedBatchLoader."
+                        )
+                    batch = filler_batch(
+                        self.batch_size, top_bucket[0], self._num_features
+                    )
+                yield batch
 
     def _sample_iter(self) -> Iterator[Optional[dict]]:
         if hasattr(self.dataset, "__getitem__") and hasattr(self.dataset, "__len__"):
@@ -85,6 +185,10 @@ class PaddedBatchLoader:
             yield from iter(self.dataset)
 
     def __iter__(self) -> Iterator[PointCloudBatch]:
+        rank, count = self._resolve_process()
+        if count > 1 and self._map_style:
+            yield from self._iter_process_sharded(rank, count)
+            return
         batch: List[Optional[dict]] = []
         for sample in self._sample_iter():
             if sample is None:
@@ -103,6 +207,9 @@ class PaddedBatchLoader:
     def __len__(self) -> int:
         if hasattr(self.dataset, "__len__"):
             n = len(self.dataset)
+            _, count = self._resolve_process()
+            if count > 1:
+                n = -(-n // count)  # per-rank share (wrap-padded)
             if self.drop_last:
                 return n // self.batch_size
             return (n + self.batch_size - 1) // self.batch_size

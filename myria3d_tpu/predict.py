@@ -22,12 +22,18 @@ log = utils.get_logger(__name__)
 
 
 @utils.eval_time
-def predict(config, phases: Optional[dict] = None) -> Optional[str]:
+def predict(config, phases: Optional[dict] = None, preread=None) -> Optional[str]:
     """Predict on a single LAS file and return the output path.
 
     ``phases``, when given, is filled with wall-clock phase timings
     (tile read, streaming, fetch-blocked share, merge+write) — the
     machine-readable attribution behind ``bench_e2e.py``'s phase table.
+
+    ``preread`` optionally hands over the tile's ``(points, header)`` — or
+    a Future resolving to it — read ahead by the caller while the previous
+    tile was streaming (``run.py``'s corpus loop overlaps tile i+1's read
+    under tile i's device work); the recorded ``tile read`` phase is then
+    only the residual wait.
     """
     import time
 
@@ -44,9 +50,13 @@ def predict(config, phases: Optional[dict] = None) -> Optional[str]:
     from myria3d_tpu.pctl.dataset.utils import read_las_array
 
     t_read0 = time.perf_counter()
-    tile_points, tile_header = read_las_array(
-        src_las, config["datamodule"].get("epsg")
-    )
+    if preread is not None:
+        result = preread.result() if hasattr(preread, "result") else preread
+        tile_points, tile_header = result
+    else:
+        tile_points, tile_header = read_las_array(
+            src_las, config["datamodule"].get("epsg")
+        )
     t_read = time.perf_counter() - t_read0
 
     datamodule = instantiate(config["datamodule"])
@@ -60,8 +70,13 @@ def predict(config, phases: Optional[dict] = None) -> Optional[str]:
 
     par = auto_parallel(model, datamodule.batch_size)
     # exact_interpolation=true keeps the f32 two-op interpolation instead
-    # of the bf16 MXU-recombine kernel (checkpoint-parity evaluation)
+    # of the bf16 MXU-recombine kernel (checkpoint-parity evaluation);
+    # exact_knn=true additionally forces exact lax.top_k neighbor search
+    # in the forward's encoder/decoder and the interpolation (reference
+    # parity: torch_cluster.knn is exact, pyg_randla_net.py:14,180)
     exact = bool(config["predict"].get("exact_interpolation", False))
+    if bool(config["predict"].get("exact_knn", False)):
+        model.set_exact_knn(True)
     if par is not None:
         interp_fn = par.exact_interp_step if exact else par.interp_step
     else:

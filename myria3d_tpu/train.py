@@ -101,6 +101,13 @@ class Trainer:
         # predict.exact_interpolation also governs task=test (full-cloud
         # mIoU is computed there — the checkpoint-parity metric)
         self.exact_interpolation = False
+        # predict.strict_full_cloud=true turns the silent subsampled-regime
+        # fallback in test() into a hard error (the reference test regime is
+        # always full-cloud, ``myria3d/models/model.py:86-103``)
+        self.strict_full_cloud = False
+        self._warned_subsampled_test = False
+        # predict.exact_knn: fully-exact neighbor search for task=test
+        self.exact_knn = False
 
     def _setup_parallel(self, model: Model, batch_size: int) -> None:
         from myria3d_tpu.parallel import auto_parallel
@@ -463,6 +470,8 @@ class Trainer:
             state = self.state
         assert state is not None, "test() needs a state or ckpt_path"
         rng = jax.random.PRNGKey(self.seed + 777)
+        if self.exact_knn:
+            model.set_exact_knn(True)
         self._setup_parallel(model, datamodule.batch_size)
         if self.par is not None:
             state = self.par.place_state(state)
@@ -485,7 +494,29 @@ class Trainer:
             full = pad_full_cloud(batch.copies)
             sampled_pos = pad_sampled_pos(batch.copies, batch.num_points)
             if full is None or sampled_pos is None or "full_y" not in full:
-                # no copies stashed: fall back to subsampled-regime eval
+                # No copies stashed: fall back to subsampled-regime eval.
+                # That regime is EASIER (metrics on the decimated cloud, not
+                # every raw point) — a misconfigured eval transform list
+                # (missing CopyFullPos/CopyFullPreparedTargetPos/
+                # CopySampledPos) would otherwise silently report the wrong
+                # mIoU, the exact metric the north star keys on.
+                if self.strict_full_cloud:
+                    raise RuntimeError(
+                        "predict.strict_full_cloud=true but a test batch "
+                        "carries no full-cloud copies — the eval transform "
+                        "list is missing the Copy*Pos transforms, so "
+                        "full-cloud test metrics cannot be computed."
+                    )
+                if not self._warned_subsampled_test:
+                    self._warned_subsampled_test = True
+                    log.warning(
+                        "Test batch without full-cloud copies: falling back "
+                        "to SUBSAMPLED-regime eval (reference task=test is "
+                        "always full-cloud). Check the eval transform list "
+                        "(Copy*Pos transforms); set "
+                        "predict.strict_full_cloud=true to make this an "
+                        "error. This warning is logged once per run."
+                    )
                 loss, logits = eval_fn(
                     state, arrays["x"], arrays["pos"], arrays["y"],
                     arrays["mask"], rng,
@@ -503,12 +534,19 @@ class Trainer:
                 state, arrays["x"], arrays["pos"], arrays["mask"],
                 sampled_pos, placed["full_pos"], placed["full_mask"], rng,
             )
-            loss = model.criterion(full_logits, full["full_y"])
+            # place_batch pads the batch dim to the device count; align the
+            # host-side target/mask rows (fillers carry the ignore code /
+            # False, so loss and metrics skip them)
+            full_y, full_mask = full["full_y"], full["full_mask"]
+            if self.par is not None:
+                from myria3d_tpu.pctl.batching import IGNORE_INDEX
+
+                full_y = self.par.pad_rows(full_y, fill=IGNORE_INDEX)
+                full_mask = self.par.pad_rows(full_mask, fill=False)
+            loss = model.criterion(full_logits, full_y)
             losses.append(loss)
             if self.metrics is not None:
-                self.metrics.update(
-                    "test", full_logits, full["full_y"], full["full_mask"]
-                )
+                self.metrics.update("test", full_logits, full_y, full_mask)
         out = {
             "test/loss_epoch": (
                 float(np.mean(jax.device_get(losses))) if losses else float("nan")
@@ -630,6 +668,12 @@ def train(config) -> Trainer:
     )
     trainer.exact_interpolation = bool(
         (config.get("predict") or {}).get("exact_interpolation", False)
+    )
+    trainer.strict_full_cloud = bool(
+        (config.get("predict") or {}).get("strict_full_cloud", False)
+    )
+    trainer.exact_knn = bool(
+        (config.get("predict") or {}).get("exact_knn", False)
     )
 
     if logger is not None:

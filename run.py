@@ -91,7 +91,16 @@ def launch_train(config):
 
 def launch_predict(config):
     """Iterate the glob of LAS files (reference ``launch_predict``,
-    ``run.py:60-80``)."""
+    ``run.py:60-80``), overlapping each next tile's read/decompress under
+    the current tile's device streaming (the reference's production use is
+    corpus-scale batch prediction,
+    ``.github/workflows/predict-for-lidar-prod-optimization.yml:45-88``,
+    where the serial per-tile LAS/LAZ read — tens of seconds — would
+    otherwise stall the chip between tiles). ``predict.prefetch_tiles=0``
+    disables the lookahead (one extra tile held in RAM)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from myria3d_tpu.pctl.dataset.utils import read_las_array
     from myria3d_tpu.predict import predict
     from myria3d_tpu.utils import utils
 
@@ -105,6 +114,7 @@ def launch_predict(config):
     resume = bool(config["predict"].get("resume", False))
     output_dir = config["predict"]["output_dir"]
     outs = []
+    todo = []
     for las in las_files:
         out_path = os.path.join(output_dir, os.path.basename(las))
         if resume and os.path.exists(out_path):
@@ -113,10 +123,34 @@ def launch_predict(config):
             )
             outs.append(out_path)
             continue
+        todo.append(las)
+    if not todo:
+        return outs
+
+    prefetch = int(config["predict"].get("prefetch_tiles", 1) or 0)
+    epsg = config["datamodule"].get("epsg")
+
+    def _cfg_for(las):
         cfg = dict(config)
         cfg["predict"] = dict(config["predict"])
         cfg["predict"]["src_las"] = las
-        outs.append(predict(cfg))
+        return cfg
+
+    if prefetch <= 0 or len(todo) == 1:
+        for las in todo:
+            outs.append(predict(_cfg_for(las)))
+        return outs
+
+    # one reader thread: FIFO submission keeps tile order; while tile i
+    # streams through the device, tile i+1's read (the ~13-37 s LAS/LAZ
+    # ingest on a 1-core host) completes in the background
+    with ThreadPoolExecutor(max_workers=1) as reader:
+        futures = [reader.submit(read_las_array, las, epsg) for las in todo[:2]]
+        for j, las in enumerate(todo):
+            outs.append(predict(_cfg_for(las), preread=futures[j]))
+            nxt = j + 2
+            if nxt < len(todo):
+                futures.append(reader.submit(read_las_array, todo[nxt], epsg))
     return outs
 
 
