@@ -87,19 +87,32 @@ def main() -> None:
         sample = CopyFullPos()(sample)
         sample = gs(sample)
         ns = min(sample["pos"].shape[0], N)
-        pos[b, :ns] = sample["pos"][:ns]
-        x[b, :ns] = sample["x"][:ns]
+        # production predict cook ends with SortPointsByX
+        # (predict.sorted_window default): x-sorted sampled + full clouds
+        order_s = np.argsort(sample["pos"][:ns, 0], kind="stable")
+        order_f = np.argsort(raw[:, 0], kind="stable")
+        pos[b, :ns] = sample["pos"][:ns][order_s]
+        x[b, :ns] = sample["x"][:ns][order_s]
         mask[b, :ns] = True
-        full_pos[b, :TRUE_FULL] = raw
+        full_pos[b, :TRUE_FULL] = raw[order_f]
         full_mask[b, :TRUE_FULL] = True
-        mapped = sample["copies"]["full_to_sampled"]
-        mapped = np.where(mapped < ns, mapped, -1)
+        inv_s = np.full(ns, -1, np.int32)
+        inv_s[order_s] = np.arange(ns, dtype=np.int32)
+        mapped = sample["copies"]["full_to_sampled"][order_f]
+        mapped = np.where(mapped < ns, inv_s[np.clip(mapped, 0, ns - 1)], -1)
+        mapped = np.where(
+            sample["copies"]["full_to_sampled"][order_f] >= 0, mapped, -1
+        )
         f2s[b, :TRUE_FULL] = mapped
 
     model = (
         _pointnet2_model() if args_cli.model == "pointnet2"
         else _flagship_model()
     )
+    # windowed kNN over the x-sorted clouds built above (the production
+    # predict default, configs/predict/default.yaml sorted_window)
+    if not smoke:
+        model.set_sorted_window(4608)
     batch = {
         "x": jnp.asarray(x), "pos": jnp.asarray(pos),
         "y": jnp.zeros((B, N), jnp.int32), "mask": jnp.asarray(mask),

@@ -72,6 +72,9 @@ class Model:
         self.net = neural_net_class(**self.neural_net_hparams)
         # exact lax.top_k everywhere (parity path); see set_exact_knn
         self.exact_knn = bool(self.neural_net_hparams.get("exact_knn", False))
+        # x-sorted window for the full-cloud interpolation search
+        # (positions; 0 = full scan) — see set_sorted_window
+        self.interp_window = 0
 
         self.num_classes = int(
             num_classes or self.neural_net_hparams.get("num_classes")
@@ -151,6 +154,25 @@ class Model:
         self.exact_knn = bool(enable)
         if "exact_knn" in {f.name for f in _dc.fields(type(self.net))}:
             self.neural_net_hparams["exact_knn"] = bool(enable)
+            self.net = get_neural_net_class(self.neural_net_class_name)(
+                **self.neural_net_hparams
+            )
+        self._jitted.clear()
+
+    def set_sorted_window(self, window: int) -> None:
+        """Enable windowed kNN over x-SORTED inputs (predict.sorted_window):
+        the stage-1 encoder graph (net rebuild when the net class exposes
+        ``knn_window``) and the full-cloud interpolation search scan only
+        ~``window`` sorted key positions per query tile instead of the
+        whole key set (measured ≥99.97 % neighbor capture at window 4608,
+        docs/perf_notes.md round 4). REQUIRES the SortPointsByX transform
+        in the cook pipeline — the predict pipeline appends it when the
+        config knob is set. ``window=0`` restores the full scan."""
+        import dataclasses as _dc
+
+        self.interp_window = int(window)
+        if "knn_window" in {f.name for f in _dc.fields(type(self.net))}:
+            self.neural_net_hparams["knn_window"] = int(window)
             self.net = get_neural_net_class(self.neural_net_class_name)(
                 **self.neural_net_hparams
             )
@@ -354,6 +376,7 @@ class Model:
                 # fully-exact neighbor SEARCH only on the non-fused
                 # (exact_interpolation) path when predict.exact_knn is on
                 exact=(not fused) and self.exact_knn,
+                window=self.interp_window,
             )
             # f16 on the wire: the (B, M, C) full-cloud logits are the
             # predict loop's device->host payload; halving it matters on

@@ -103,13 +103,18 @@ class DilatedResidualBlock(nn.Module):
     bn_momentum: float = 0.01
     dtype: jnp.dtype = jnp.float32
     exact_knn: bool = False
+    # x-sorted window for the kNN graph (positions; 0 = full scan). Only
+    # valid when the block's input cloud is x-sorted — RandLANet passes it
+    # for block1 only (decimation destroys the order for deeper stages).
+    knn_window: int = 0
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, pos: jnp.ndarray, mask: jnp.ndarray, train: bool
     ) -> jnp.ndarray:
         idx, _, neigh_valid = knn_graph(
-            pos, mask, self.num_neighbors, exact=self.exact_knn
+            pos, mask, self.num_neighbors, exact=self.exact_knn,
+            window=self.knn_window,
         )
         # expose the graph (apply with mutable=["intermediates"]) — reused
         # by graph-interpolation at predict time (ops/graph_interp.py)
@@ -188,6 +193,12 @@ class RandLANet(nn.Module):
     # ~20x slower selection on TPU; meant for checkpoint-parity evaluation
     # (predict.exact_knn) and approximation-sensitivity measurements.
     exact_knn: bool = False
+    # Windowed stage-1 kNN over x-SORTED inputs (positions; 0 = off):
+    # requires the SortPointsByX transform upstream. Block 1 only — the
+    # random decimation destroys sorted order for deeper stages (their
+    # key sets are ~10-40x smaller, so the full scan is already cheap).
+    # Set via predict.sorted_window / Model.set_sorted_window.
+    knn_window: int = 0
 
     @nn.compact
     def __call__(
@@ -221,6 +232,7 @@ class RandLANet(nn.Module):
             x = block_cls(
                 self.num_neighbors, d_out, bn_momentum=self.bn_momentum,
                 dtype=self.dtype, exact_knn=self.exact_knn,
+                knn_window=self.knn_window if i == 0 else 0,
                 name=f"block{i + 1}",
             )(x, pos, mask, train)
             if i == 0:

@@ -21,7 +21,9 @@ import jax.numpy as jnp
 from myria3d_tpu.ops.knn import gather_neighbors, knn
 
 
-@functools.partial(jax.jit, static_argnames=("k", "fused_payload", "exact"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "fused_payload", "exact", "window")
+)
 def knn_interpolate(
     x: jnp.ndarray,            # (B, Ns, C) features at source points
     pos_src: jnp.ndarray,      # (B, Ns, 3)
@@ -31,6 +33,7 @@ def knn_interpolate(
     k: int = 3,
     fused_payload: bool = False,
     exact: bool = False,
+    window: int = 0,
 ) -> jnp.ndarray:
     """Interpolate source features onto target points. Returns (B, Nt, C).
 
@@ -63,16 +66,21 @@ def knn_interpolate(
         knn_interpolate_pallas,
     )
 
-    if fused_payload and interp_pallas_available(k, pos_src.shape[1], x.shape[-1]):
+    if fused_payload and interp_pallas_available(
+        k, pos_src.shape[1], x.shape[-1], window=window
+    ):
         # Fused kernel: payload rides VMEM beside the per-bin minima, so
         # the (B, Nt, K, C) logits gather (the interp step's largest op,
         # ~12 ns/row floor) never materializes.
-        out = knn_interpolate_pallas(x, pos_src, src_mask, pos_tgt, k=k)
+        out = knn_interpolate_pallas(
+            x, pos_src, src_mask, pos_tgt, k=k, window=window
+        )
         if tgt_mask is not None:
             out = jnp.where(tgt_mask[..., None], out, 0.0)
         return out
     idx, d2, neigh_valid = knn(
-        pos_tgt, pos_src, src_mask, k, query_mask=tgt_mask, exact=exact
+        pos_tgt, pos_src, src_mask, k, query_mask=tgt_mask, exact=exact,
+        window=window,
     )
     w = 1.0 / jnp.maximum(d2, 1e-16)                    # (B, Nt, K)
     w = jnp.where(neigh_valid, w, 0.0)

@@ -82,7 +82,7 @@ def _knn_single(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "exact", "recall_target")
+    jax.jit, static_argnames=("k", "exact", "recall_target", "window")
 )
 def knn(
     query_pos: jnp.ndarray,    # (B, Nq, 3)
@@ -92,8 +92,16 @@ def knn(
     query_mask: Optional[jnp.ndarray] = None,  # (B, Nq) bool
     exact: bool = False,
     recall_target: float = 0.95,
+    window: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Masked kNN from queries into keys, per batch element.
+
+    ``window > 0`` asserts both clouds are x-SORTED (valid prefix
+    ascending in x — apply ``pctl.transforms.SortPointsByX`` upstream) and
+    lets the Pallas kernel scan only ~``window`` sorted key positions per
+    query tile (docs/perf_notes.md round 4: ≥99.97 % neighbor capture at
+    window 4608 on the 40k shape, ~9x less distance work). Ignored on the
+    non-Pallas fallback and under ``exact=True``.
 
     Returns:
         idx:   (B, Nq, K) int32 neighbor indices into the key axis
@@ -135,7 +143,7 @@ def knn(
         )
 
         if knn_pallas_available(k_eff, nk):
-            idx, d2 = knn_topk_pallas(q4, k4, k_eff)
+            idx, d2 = knn_topk_pallas(q4, k4, k_eff, window=window)
             return _finalize(idx, d2, k, k_eff, query_mask)
 
     single = functools.partial(
@@ -185,12 +193,13 @@ def _finalize(
 
 
 def knn_graph(
-    pos: jnp.ndarray, mask: jnp.ndarray, k: int, exact: bool = False
+    pos: jnp.ndarray, mask: jnp.ndarray, k: int, exact: bool = False,
+    window: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Self-kNN graph with self-loops (reference ``knn_graph(..., loop=True)``,
     ``pyg_randla_net.py:180``): each valid point's K nearest valid points,
     itself included (distance 0 sorts first)."""
-    return knn(pos, pos, mask, k, query_mask=mask, exact=exact)
+    return knn(pos, pos, mask, k, query_mask=mask, exact=exact, window=window)
 
 
 def ball_query(

@@ -148,6 +148,49 @@ def _knn_kernel_vpu(q_ref, kt_ref, idx_ref, s_ref, *, k_out: int, bins: int):
     _extract_topk(state_s, state_i, idx_ref, s_ref, k_out)
 
 
+def _knn_kernel_vpu_win(base_ref, q_ref, kt_ref, idx_ref, s_ref, *,
+                        k_out: int, bins: int, w_chunks: int):
+    """Windowed VPU variant: x-SORTED clouds only. Instead of streaming
+    every key chunk, scan ``w_chunks`` chunks starting at this query
+    tile's prefetched window base (``base_ref``, computed outside by
+    ``_window_bases`` via searchsorted of the tile's mid x into the sorted
+    key x's). A 256-query tile of an x-sorted cloud spans a thin x-slab,
+    so its true neighbors live in a contiguous sorted-position window —
+    measured ≥99.97 % in-window at the production shapes
+    (docs/perf_notes.md round 4; the Morton-window variants measured in
+    rounds 2-3 were NO-GO because 2D curve discontinuities scatter
+    neighborhoods, a 1D x-sort has none)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    base = base_ref[b, i]                                   # chunk index
+    q = q_ref[0]                                            # (TQ, 4)
+    tq = q.shape[0]
+    q0 = q[:, 0:1]
+    q1 = q[:, 1:2]
+    q2 = q[:, 2:3]
+
+    state_s = jnp.full((tq, bins), _INF, jnp.float32)
+    state_i = jnp.zeros((tq, bins), jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, bins), 1)
+
+    for c in range(w_chunks):                               # static unroll
+        off = pl.multiple_of((base + c) * bins, bins)
+        kc = kt_ref[0, :, pl.ds(off, bins)]                 # (4, bins)
+        kw = kc[3:4, :]
+        s = jnp.broadcast_to(kw * kw, (tq, bins))           # pad term w^2
+        d0 = q0 - kc[0:1, :]
+        s = s + d0 * d0
+        d1 = q1 - kc[1:2, :]
+        s = s + d1 * d1
+        d2 = q2 - kc[2:3, :]
+        s = s + d2 * d2
+        better = s < state_s
+        state_s = jnp.where(better, s, state_s)
+        state_i = jnp.where(better, lane + off, state_i)
+
+    _extract_topk(state_s, state_i, idx_ref, s_ref, k_out)
+
+
 def _interp_kernel_vpu(q_ref, kt_ref, pt_ref, out_ref, *, k_out: int,
                        bins: int, valid_thresh: float):
     """One (cloud, query-tile) step — fused kNN + inverse-d2 interpolation.
@@ -242,6 +285,97 @@ def _interp_kernel_vpu(q_ref, kt_ref, pt_ref, out_ref, *, k_out: int,
     out_ref[0] = acc
 
 
+def _interp_kernel_vpu_win(base_ref, q_ref, kt_ref, pt_ref, out_ref, *,
+                           k_out: int, bins: int, valid_thresh: float,
+                           w_chunks: int):
+    """Windowed fused kNN+interpolation (x-sorted clouds; see
+    ``_knn_kernel_vpu_win``): both the distance streaming pass and the MXU
+    payload recombine walk only the ``w_chunks`` window chunks."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    base = base_ref[b, i]
+    q = q_ref[0]                                            # (TQ, 4)
+    tq = q.shape[0]
+    q0 = q[:, 0:1]
+    q1 = q[:, 1:2]
+    q2 = q[:, 2:3]
+
+    state_s = jnp.full((tq, bins), _INF, jnp.float32)
+    state_i = jnp.zeros((tq, bins), jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, bins), 1)
+    for c in range(w_chunks):                               # static unroll
+        off = pl.multiple_of((base + c) * bins, bins)
+        kc = kt_ref[0, :, pl.ds(off, bins)]                 # (4, bins)
+        kw = kc[3:4, :]
+        s = jnp.broadcast_to(kw * kw, (tq, bins))
+        d0 = q0 - kc[0:1, :]
+        s = s + d0 * d0
+        d1 = q1 - kc[1:2, :]
+        s = s + d1 * d1
+        d2 = q2 - kc[2:3, :]
+        s = s + d2 * d2
+        better = s < state_s
+        state_s = jnp.where(better, s, state_s)
+        state_i = jnp.where(better, lane + off, state_i)
+
+    work = state_s
+    selected = jnp.zeros((tq, bins), jnp.bool_)
+    for _ in range(k_out):                                  # static unroll
+        m = jnp.min(work, axis=1, keepdims=True)
+        sel = work == m
+        am = jnp.min(jnp.where(sel, state_i, jnp.int32(_BIG_I)),
+                     axis=1, keepdims=True)
+        win = sel & (state_i == am)
+        selected = selected | (win & (m < valid_thresh))
+        work = jnp.where(win, _INF, work)
+
+    w = jnp.where(selected, 1.0 / jnp.maximum(state_s, 1e-16), 0.0)
+    den = jnp.sum(w, axis=1, keepdims=True)
+    w_norm = w / jnp.maximum(den, 1e-16)
+
+    chunk_of = state_i // bins                              # (TQ, bins)
+    acc = jnp.zeros((tq, pt_ref.shape[1]), jnp.float32)
+    for c in range(w_chunks):                               # static unroll
+        off = pl.multiple_of((base + c) * bins, bins)
+        wc = jnp.where(chunk_of == base + c, w_norm, 0.0).astype(jnp.bfloat16)
+        pc = pt_ref[0, :, pl.ds(off, bins)]                 # (C_pad, bins)
+        acc = acc + jax.lax.dot_general(
+            wc, pc,
+            dimension_numbers=(((1,), (1,)), ((), ())),     # (TQ, C_pad)
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[0] = acc
+
+
+def _window_chunks(window: int, nk_pad: int, bins: int) -> int:
+    """Static chunk count for a ``window``-position scan: +1 chunk absorbs
+    the base's bins-alignment rounding."""
+    return min(nk_pad // bins, window // bins + 1)
+
+
+def _window_bases(q4p: jnp.ndarray, k4p: jnp.ndarray, tile_q: int,
+                  w_chunks: int, bins: int) -> jnp.ndarray:
+    """(B, n_tiles) int32 window base CHUNK per query tile.
+
+    The tile's mid-x is searchsorted into the keys' x column (pad keys —
+    w != 0 — replaced by +inf so the valid sorted prefix stays monotone):
+    exact quantile alignment regardless of query/key density or pad-count
+    mismatch (a proportional position map would drift by thousands of
+    positions when the two clouds' valid fractions differ)."""
+    b, nq_pad, _ = q4p.shape
+    nk_pad = k4p.shape[1]
+    n_tiles = nq_pad // tile_q
+    qx = q4p[..., 0].reshape(b, n_tiles, tile_q)[:, :, tile_q // 2]
+    kx = jnp.where(k4p[..., 3] == 0.0, k4p[..., 0], jnp.inf)
+    pos = jax.vmap(jnp.searchsorted)(kx, qx)                # (B, n_tiles)
+    n_chunks = nk_pad // bins
+    half = (w_chunks * bins) // 2
+    base = jnp.clip(
+        (pos.astype(jnp.int32) - half) // bins, 0, n_chunks - w_chunks
+    )
+    return base.astype(jnp.int32)
+
+
 def _pad_axis(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
     pad = (-x.shape[axis]) % mult
     if pad == 0:
@@ -253,7 +387,7 @@ def _pad_axis(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "tile_q", "bins", "interpret", "variant"),
+    static_argnames=("k", "tile_q", "bins", "interpret", "variant", "window"),
 )
 def knn_topk_pallas(
     q4: jnp.ndarray,           # (B, Nq, 4) centered + pad-augmented queries
@@ -263,6 +397,7 @@ def knn_topk_pallas(
     bins: int = BINS,
     interpret: bool = False,
     variant: str = "vpu",
+    window: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Binned approximate top-k nearest keys for every query.
 
@@ -276,24 +411,32 @@ def knn_topk_pallas(
     slower because contraction dim 4 at HIGHEST precision runs the systolic
     array at 3% utilization, see docs/perf_notes.md).
 
+    ``window > 0`` requires BOTH clouds x-SORTED (valid prefix ascending
+    in x — ``pctl.transforms.SortPointsByX``) and scans only ~``window``
+    sorted key positions around each query tile's x-slab instead of the
+    whole key set (vpu variant only). Measured in-window neighbor capture
+    ≥99.97 % at window 4608 on the 40k production shape — recall is
+    unchanged while the distance streaming drops ~9x.
+
     Non-differentiable by declaration (zero-tangent custom_jvp): neighbor
     indices are discrete and the forward recomputes any distance it needs
     gradients for, while pallas_call itself has no AD rule — without the
     wrapper, jit(grad(train_step)) fails to linearize.
     """
-    return _topk_nodiff(q4, k4, k, tile_q, bins, interpret, variant)
+    return _topk_nodiff(q4, k4, k, tile_q, bins, interpret, variant, window)
 
 
-@functools.partial(jax.custom_jvp, nondiff_argnums=(2, 3, 4, 5, 6))
-def _topk_nodiff(q4, k4, k, tile_q, bins, interpret, variant):
-    return _topk_impl(q4, k4, k, tile_q, bins, interpret, variant)
+@functools.partial(jax.custom_jvp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def _topk_nodiff(q4, k4, k, tile_q, bins, interpret, variant, window):
+    return _topk_impl(q4, k4, k, tile_q, bins, interpret, variant, window)
 
 
 @_topk_nodiff.defjvp
-def _topk_nodiff_jvp(k, tile_q, bins, interpret, variant, primals, tangents):
+def _topk_nodiff_jvp(k, tile_q, bins, interpret, variant, window, primals,
+                     tangents):
     import numpy as np
 
-    out = _topk_nodiff(*primals, k, tile_q, bins, interpret, variant)
+    out = _topk_nodiff(*primals, k, tile_q, bins, interpret, variant, window)
     idx, d2 = out
     idx_tan = np.zeros(idx.shape, jax.dtypes.float0)  # int output: float0
     return out, (idx_tan, jnp.zeros_like(d2))
@@ -307,9 +450,12 @@ def _topk_impl(
     bins: int = BINS,
     interpret: bool = False,
     variant: str = "vpu",
+    window: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     if variant not in ("vpu", "mxu"):
         raise ValueError(f"unknown kNN kernel variant {variant!r}")
+    if window and variant != "vpu":
+        raise ValueError("windowed kNN requires the vpu variant")
     b, nq, _ = q4.shape
     nk = k4.shape[1]
     q4p = _pad_axis(q4, 1, tile_q)
@@ -346,8 +492,8 @@ def _topk_impl(
         q_spec = pl.BlockSpec(
             (1, 4, tile_q), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM
         )
-    kern_fn = _knn_kernel_vpu if variant == "vpu" else _knn_kernel
-    kernel = functools.partial(kern_fn, k_out=k_kernel, bins=bins)
+    w_chunks = _window_chunks(window, nk_pad, bins) if window else 0
+    windowed = bool(window) and 0 < w_chunks < nk_pad // bins
 
     # The batch rides the (outer, slowest) grid dimension instead of a
     # vmap over per-cloud pallas_calls: one launch total, the key block is
@@ -355,32 +501,70 @@ def _topk_impl(
     # resident per cloud, and XLA never sees a vmapped custom call (which
     # it answered with a scoped-VMEM stack allocation of the whole output
     # at the 65k-query interp shape — an OOM).
-    idx, score = pl.pallas_call(
-        kernel,
-        grid=(b, nq_pad // tile_q),
-        in_specs=[
-            q_spec,
-            pl.BlockSpec(
-                (1, 4, nk_pad), lambda b, i: (b, 0, 0),
-                memory_space=pltpu.VMEM,
+    out_shape = [
+        jax.ShapeDtypeStruct((b, nq_pad, k_kernel), jnp.int32),
+        jax.ShapeDtypeStruct((b, nq_pad, k_kernel), jnp.float32),
+    ]
+    if windowed:
+        kernel = functools.partial(
+            _knn_kernel_vpu_win, k_out=k_kernel, bins=bins, w_chunks=w_chunks
+        )
+        bases = _window_bases(q4p, k4p, tile_q, w_chunks, bins)
+        idx, score = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(b, nq_pad // tile_q),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, tile_q, 4), lambda b, i, bases: (b, i, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, 4, nk_pad), lambda b, i, bases: (b, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=[
+                    pl.BlockSpec(
+                        (1, tile_q, k_kernel), lambda b, i, bases: (b, i, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, tile_q, k_kernel), lambda b, i, bases: (b, i, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
             ),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, tile_q, k_kernel), lambda b, i: (b, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, tile_q, k_kernel), lambda b, i: (b, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, nq_pad, k_kernel), jnp.int32),
-            jax.ShapeDtypeStruct((b, nq_pad, k_kernel), jnp.float32),
-        ],
-        interpret=interpret,
-    )(q_in, kt)
+            out_shape=out_shape,
+            interpret=interpret,
+        )(bases, q4p, kt)
+    else:
+        kern_fn = _knn_kernel_vpu if variant == "vpu" else _knn_kernel
+        kernel = functools.partial(kern_fn, k_out=k_kernel, bins=bins)
+        idx, score = pl.pallas_call(
+            kernel,
+            grid=(b, nq_pad // tile_q),
+            in_specs=[
+                q_spec,
+                pl.BlockSpec(
+                    (1, 4, nk_pad), lambda b, i: (b, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, tile_q, k_kernel), lambda b, i: (b, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, tile_q, k_kernel), lambda b, i: (b, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_shape=out_shape,
+            interpret=interpret,
+        )(q_in, kt)
     if variant == "vpu":
         # the kernel already produced true squared distances
         d2 = jnp.maximum(score[:, :nq, :k], 0.0)
@@ -392,7 +576,7 @@ def _topk_impl(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "tile_q", "bins", "interpret")
+    jax.jit, static_argnames=("k", "tile_q", "bins", "interpret", "window")
 )
 def knn_interpolate_pallas(
     x: jnp.ndarray,            # (B, Nk, C) payload at key points
@@ -403,6 +587,7 @@ def knn_interpolate_pallas(
     tile_q: int = TILE_Q,
     bins: int = BINS,
     interpret: bool = False,
+    window: int = 0,
 ) -> jnp.ndarray:
     """Fused binned-kNN + inverse-squared-distance interpolation.
 
@@ -454,6 +639,43 @@ def knn_interpolate_pallas(
     pt = jnp.swapaxes(xp, 1, 2)                             # (B, C_pad, Nk_pad)
     kt = jnp.swapaxes(k4p, 1, 2)                            # (B, 4, Nk_pad)
 
+    w_chunks = _window_chunks(window, nk_pad, bins) if window else 0
+    windowed = bool(window) and 0 < w_chunks < nk_pad // bins
+    out_shape = jax.ShapeDtypeStruct((b, nq_pad, c_pad), jnp.float32)
+    if windowed:
+        kernel = functools.partial(
+            _interp_kernel_vpu_win, k_out=min(k, nk), bins=bins,
+            valid_thresh=_VALID_THRESH, w_chunks=w_chunks,
+        )
+        bases = _window_bases(q4p, k4p, tile_q, w_chunks, bins)
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(b, nq_pad // tile_q),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, tile_q, 4), lambda b, i, bases: (b, i, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, 4, nk_pad), lambda b, i, bases: (b, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, c_pad, nk_pad), lambda b, i, bases: (b, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, tile_q, c_pad), lambda b, i, bases: (b, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(bases, q4p, kt, pt)
+        return out[:, :nq, :c]
     kernel = functools.partial(
         _interp_kernel_vpu, k_out=min(k, nk), bins=bins,
         valid_thresh=_VALID_THRESH,
@@ -479,7 +701,7 @@ def knn_interpolate_pallas(
             (1, tile_q, c_pad), lambda b, i: (b, i, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, nq_pad, c_pad), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
     )(q4p, kt, pt)
     return out[:, :nq, :c]
@@ -495,16 +717,20 @@ _INTERP_MAX_CHUNKS = 96
 
 
 def interp_pallas_available(k: int, nk: int, c: int,
-                            tile_q: int = TILE_Q, bins: int = BINS) -> bool:
+                            tile_q: int = TILE_Q, bins: int = BINS,
+                            window: int = 0) -> bool:
     """Gate for the fused kNN+interpolate kernel: the index-kernel rules,
     a statically-unrolled-chunk ceiling (``_INTERP_MAX_CHUNKS``), and a
     VMEM budget over the persistent per-tile planes (score, index, lane,
     work, selected, weights, chunk-of — ~7 (TQ, bins) f32-sized planes
-    live across the phases) plus the resident key + bf16 payload tables."""
+    live across the phases) plus the resident key + bf16 payload tables.
+    A sorted ``window`` unrolls only its own chunks, lifting the ceiling
+    for very large key sets."""
     if not knn_pallas_available(k, nk):
         return False
     n_chunks = -(-nk // bins)
-    if n_chunks > _INTERP_MAX_CHUNKS:
+    unrolled = _window_chunks(window, n_chunks * bins, bins) if window else n_chunks
+    if unrolled > _INTERP_MAX_CHUNKS:
         return False
     c_pad = -(-c // 16) * 16
     nk_pad = n_chunks * bins

@@ -158,6 +158,72 @@ class CopySampledPos(Transform):
         return data
 
 
+class SortPointsByX(Transform):
+    """Order points by their x coordinate — the locality layout behind the
+    windowed Pallas kNN kernels (``ops/pallas_knn.py``, ``window=`` args).
+
+    A 256-query tile of x-sorted points spans a thin x-slab; all its true
+    kNN neighbors lie within a contiguous sorted-position window (measured
+    ≥99.97 % capture at window 4608/40k — docs/perf_notes.md round 4), so
+    the kernels scan ~9x fewer key chunks. Pure permutation: model outputs
+    are identical up to float reordering, and the downstream scatter-merge
+    is index-based, so output LAS files are unchanged.
+
+    Both clouds are permuted consistently:
+    - the sampled arrays (``pos``/``x``/``y`` + ``pos_sampled_copy``) by
+      the current ``pos`` x;
+    - the full-cloud stash (``pos_copy``/``transformed_y_copy``/
+      ``idx_in_original_cloud`` and the rows of ``full_to_sampled``) by
+      ``pos_copy`` x, with ``full_to_sampled`` *values* remapped through
+      the sampled permutation.
+
+    Place LAST in the preparations list (after the Copy*Pos stashes);
+    Center/NormalizePos after it are shared positive-affine maps, so the
+    order survives them. No reference counterpart (reference kNN is
+    order-independent torch_cluster).
+    """
+
+    def __call__(self, data: dict) -> dict:
+        n = num_nodes_of(data)
+        perm_s = np.argsort(data["pos"][:, 0], kind="stable")
+        inv_s = np.empty_like(perm_s)
+        inv_s[perm_s] = np.arange(n, dtype=perm_s.dtype)
+        for key, item in list(data.items()):
+            if key in _SKIP_KEYS:
+                continue
+            if isinstance(item, np.ndarray) and item.shape and item.shape[0] == n:
+                data[key] = item[perm_s]
+        copies = data.get("copies")
+        if not copies:
+            return data
+        if (
+            isinstance(copies.get("pos_sampled_copy"), np.ndarray)
+            and copies["pos_sampled_copy"].shape[0] == n
+        ):
+            copies["pos_sampled_copy"] = copies["pos_sampled_copy"][perm_s]
+        pos_copy = copies.get("pos_copy")
+        if isinstance(pos_copy, np.ndarray) and pos_copy.ndim == 2:
+            m = pos_copy.shape[0]
+            perm_f = np.argsort(pos_copy[:, 0], kind="stable")
+            copies["pos_copy"] = pos_copy[perm_f]
+            if (
+                isinstance(copies.get("transformed_y_copy"), np.ndarray)
+                and copies["transformed_y_copy"].shape[0] == m
+            ):
+                copies["transformed_y_copy"] = copies["transformed_y_copy"][perm_f]
+            idx = data.get("idx_in_original_cloud")
+            if isinstance(idx, np.ndarray) and idx.shape[0] == m:
+                data["idx_in_original_cloud"] = idx[perm_f]
+            f2s = copies.get("full_to_sampled")
+            if isinstance(f2s, np.ndarray) and f2s.shape[0] == m:
+                f2s = f2s[perm_f]
+                valid = f2s >= 0
+                out = np.full_like(f2s, -1)
+                out[valid] = inv_s[f2s[valid]]
+                copies["full_to_sampled"] = out
+        return data
+
+
 class StandardizeRGBAndIntensity(Transform):
     """Standardize RGB-average and log(Intensity) per sample with 3σ clamping
     (reference ``:117-138``)."""

@@ -60,9 +60,24 @@ def predict(config, phases: Optional[dict] = None, preread=None) -> Optional[str
     t_read = time.perf_counter() - t_read0
 
     datamodule = instantiate(config["datamodule"])
+
+    # predict.sorted_window > 0: windowed kNN over x-sorted subtiles.
+    # The sort transform and the kernel window are enabled TOGETHER here so
+    # they can never drift apart (an unsorted cloud with a window would
+    # silently select wrong neighbors).
+    sorted_window = int(config["predict"].get("sorted_window", 0) or 0)
+    if sorted_window > 0:
+        from myria3d_tpu.pctl.transforms.transforms import SortPointsByX
+
+        datamodule._stages["predict"] = list(
+            datamodule._stages["predict"]
+        ) + [SortPointsByX()]
+
     datamodule._set_predict_data(src_las, points=tile_points)
 
     model, state = Model.load_from_checkpoint(ckpt_path)
+    if sorted_window > 0:
+        model.set_sorted_window(sorted_window)
     rng = jax.random.PRNGKey(int(config.get("seed", 12345)))
 
     # data-parallel inference when several chips are visible

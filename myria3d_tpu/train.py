@@ -108,6 +108,8 @@ class Trainer:
         self._warned_subsampled_test = False
         # predict.exact_knn: fully-exact neighbor search for task=test
         self.exact_knn = False
+        # predict.sorted_window: windowed kNN over x-sorted eval clouds
+        self.sorted_window = 0
 
     def _setup_parallel(self, model: Model, batch_size: int) -> None:
         from myria3d_tpu.parallel import auto_parallel
@@ -462,6 +464,20 @@ class Trainer:
         """Full-cloud evaluation: logits kNN-interpolated back to every point
         of each subtile before the confusion matrix (reference ``task=test``
         regime, ``models/model.py:86-103``, SURVEY.md §3.5)."""
+        if (
+            self.sorted_window > 0
+            and not self.exact_knn
+            and hasattr(datamodule, "_stages")
+        ):
+            # windowed kNN needs x-sorted clouds: append the sort to the
+            # eval pipeline BEFORE the dataset composes its transforms
+            # (and drop a dataset wrapper built without it during fit)
+            from myria3d_tpu.pctl.transforms.transforms import SortPointsByX
+
+            stages = datamodule._stages["eval"]
+            if not any(isinstance(t, SortPointsByX) for t in stages):
+                datamodule._stages["eval"] = list(stages) + [SortPointsByX()]
+                datamodule._dataset = None
         datamodule.prepare_data()
         datamodule.setup("test")
         if ckpt_path:
@@ -472,6 +488,8 @@ class Trainer:
         rng = jax.random.PRNGKey(self.seed + 777)
         if self.exact_knn:
             model.set_exact_knn(True)
+        elif self.sorted_window > 0:
+            model.set_sorted_window(self.sorted_window)
         self._setup_parallel(model, datamodule.batch_size)
         if self.par is not None:
             state = self.par.place_state(state)
@@ -674,6 +692,9 @@ def train(config) -> Trainer:
     )
     trainer.exact_knn = bool(
         (config.get("predict") or {}).get("exact_knn", False)
+    )
+    trainer.sorted_window = int(
+        (config.get("predict") or {}).get("sorted_window", 0) or 0
     )
 
     if logger is not None:

@@ -128,7 +128,7 @@ def launch_predict(config):
         return outs
 
     prefetch = int(config["predict"].get("prefetch_tiles", 1) or 0)
-    epsg = config["datamodule"].get("epsg")
+    epsg = (config.get("datamodule") or {}).get("epsg")
 
     def _cfg_for(las):
         cfg = dict(config)

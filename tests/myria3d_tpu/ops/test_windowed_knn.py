@@ -1,0 +1,206 @@
+"""x-sorted windowed kNN: the SortPointsByX transform's permutation
+contract and the windowed Pallas kernels (interpret mode) against the
+dense exact reference. Device timings live in docs/perf_notes.md round 4."""
+
+import numpy as np
+import pytest
+
+from myria3d_tpu.pctl.transforms.transforms import SortPointsByX
+
+# ---------------------------------------------------------------------------
+# transform
+# ---------------------------------------------------------------------------
+
+
+def _sample(n=64, m=200, seed=0):
+    rng = np.random.default_rng(seed)
+    pos_full = rng.uniform(0, 50, (m, 3)).astype(np.float32)
+    f2s = rng.integers(-1, n, m).astype(np.int32)
+    data = {
+        "pos": rng.uniform(0, 50, (n, 3)).astype(np.float32),
+        "x": rng.uniform(0, 1, (n, 5)).astype(np.float32),
+        "y": rng.integers(0, 7, n).astype(np.int32),
+        "idx_in_original_cloud": np.arange(100, 100 + m, dtype=np.int64),
+        "copies": {
+            "pos_copy": pos_full,
+            "transformed_y_copy": rng.integers(0, 7, m).astype(np.int32),
+            "pos_sampled_copy": rng.uniform(0, 50, (n, 3)).astype(np.float32),
+            "full_to_sampled": f2s,
+        },
+    }
+    return data
+
+
+def test_sort_transform_consistent_permutation():
+    data = _sample()
+    orig = {
+        "pos": data["pos"].copy(), "x": data["x"].copy(),
+        "y": data["y"].copy(),
+        "pos_copy": data["copies"]["pos_copy"].copy(),
+        "ty": data["copies"]["transformed_y_copy"].copy(),
+        "psc": data["copies"]["pos_sampled_copy"].copy(),
+        "f2s": data["copies"]["full_to_sampled"].copy(),
+        "idx": data["idx_in_original_cloud"].copy(),
+    }
+    out = SortPointsByX()(data)
+
+    # sampled arrays sorted by x, one shared permutation
+    assert (np.diff(out["pos"][:, 0]) >= 0).all()
+    perm_s = np.argsort(orig["pos"][:, 0], kind="stable")
+    np.testing.assert_array_equal(out["pos"], orig["pos"][perm_s])
+    np.testing.assert_array_equal(out["x"], orig["x"][perm_s])
+    np.testing.assert_array_equal(out["y"], orig["y"][perm_s])
+    np.testing.assert_array_equal(
+        out["copies"]["pos_sampled_copy"], orig["psc"][perm_s]
+    )
+
+    # full-cloud stash sorted by pos_copy x, aligned with idx + targets
+    perm_f = np.argsort(orig["pos_copy"][:, 0], kind="stable")
+    np.testing.assert_array_equal(
+        out["copies"]["pos_copy"], orig["pos_copy"][perm_f]
+    )
+    np.testing.assert_array_equal(
+        out["copies"]["transformed_y_copy"], orig["ty"][perm_f]
+    )
+    np.testing.assert_array_equal(
+        out["idx_in_original_cloud"], orig["idx"][perm_f]
+    )
+
+    # full_to_sampled: rows follow perm_f, values remapped through perm_s —
+    # the (full point -> sampled point) geometric relation is invariant
+    f2s = out["copies"]["full_to_sampled"]
+    for row in range(len(perm_f)):
+        old_row = perm_f[row]
+        old_val = orig["f2s"][old_row]
+        if old_val < 0:
+            assert f2s[row] == -1
+        else:
+            np.testing.assert_array_equal(
+                out["copies"]["pos_sampled_copy"][f2s[row]],
+                orig["psc"][old_val],
+            )
+
+
+def test_sort_transform_without_copies():
+    data = {
+        "pos": np.array([[3.0, 0, 0], [1.0, 0, 0], [2.0, 0, 0]], np.float32),
+        "y": np.array([30, 10, 20], np.int32),
+    }
+    out = SortPointsByX()(data)
+    np.testing.assert_array_equal(out["y"], [10, 20, 30])
+
+
+# ---------------------------------------------------------------------------
+# windowed kernels (interpret mode — runs on CPU)
+# ---------------------------------------------------------------------------
+
+
+def _sorted_cloud(b, n, seed=0, extent=50.0):
+    """Surface-like cloud, x-sorted, pad-augmented like ops.knn does."""
+    rng = np.random.default_rng(seed)
+    pos = np.stack([
+        rng.uniform(0, extent, (b, n)),
+        rng.uniform(0, extent, (b, n)),
+        rng.uniform(0, 2.0, (b, n)),
+    ], axis=-1).astype(np.float32)
+    pos = np.take_along_axis(pos, np.argsort(pos[..., 0:1], axis=1), axis=1)
+    pos -= pos.mean(axis=1, keepdims=True)
+    w = np.zeros((b, n, 1), np.float32)
+    return np.concatenate([pos, w], axis=-1)
+
+
+def _exact_ref(q4, k4, k):
+    d2 = (
+        (q4[:, :, None, :3] - k4[:, None, :, :3]) ** 2
+    ).sum(-1) + (k4[:, None, :, 3] ** 2)
+    idx = np.argsort(d2, axis=-1, kind="stable")[..., :k]
+    return idx, np.take_along_axis(d2, idx, axis=-1)
+
+
+def test_windowed_knn_matches_dense_recall():
+    from myria3d_tpu.ops.pallas_knn import knn_topk_pallas
+
+    b, n, k = 2, 2048, 8
+    q4 = _sorted_cloud(b, n)
+    idx_w, d2_w = knn_topk_pallas(
+        q4, q4, k, interpret=True, window=1024, bins=512, tile_q=256
+    )
+    idx_e, d2_e = _exact_ref(q4, q4, k)
+    # recall vs the exact neighbor sets: windowed-binned must match the
+    # full binned kernel's ~0.98 on this easy sorted cloud
+    hits = sum(
+        len(set(idx_w[i, r].tolist()) & set(idx_e[i, r].tolist()))
+        for i in range(b) for r in range(n)
+    )
+    recall = hits / (b * n * k)
+    assert recall >= 0.97, recall
+    # distances of selected neighbors are true distances
+    flat_sel = np.take_along_axis(
+        ((q4[:, :, None, :3] - q4[:, None, :, :3]) ** 2).sum(-1),
+        idx_w, axis=-1,
+    )
+    np.testing.assert_allclose(d2_w, flat_sel, rtol=1e-4, atol=1e-4)
+
+
+def test_windowed_knn_handles_pad_keys():
+    from myria3d_tpu.ops.pallas_knn import knn_topk_pallas
+
+    b, n, k = 1, 1536, 4
+    q4 = _sorted_cloud(b, n)
+    n_valid = 1100
+    q4[:, n_valid:, 3] = 1e4  # pad tail (sorted prefix stays valid)
+    idx_w, d2_w = knn_topk_pallas(
+        q4, q4, k, interpret=True, window=1024, bins=512, tile_q=256
+    )
+    # valid queries never select pad keys
+    assert (idx_w[:, :n_valid] < n_valid).all()
+    assert (d2_w[:, :n_valid] < 0.25e8).all()
+
+
+def test_windowed_interp_matches_two_op():
+    import jax.numpy as jnp
+
+    from myria3d_tpu.ops.interpolate import knn_interpolate
+    from myria3d_tpu.ops.pallas_knn import knn_interpolate_pallas
+
+    b, nk, nq, c, k = 1, 1536, 2048, 7, 4
+    rng = np.random.default_rng(3)
+    k4 = _sorted_cloud(b, nk, seed=1)
+    q4 = _sorted_cloud(b, nq, seed=2)
+    key_pos, query_pos = k4[..., :3], q4[..., :3]
+    key_mask = np.ones((b, nk), bool)
+    x = rng.uniform(-1, 1, (b, nk, c)).astype(np.float32)
+
+    out_w = np.asarray(knn_interpolate_pallas(
+        jnp.asarray(x), jnp.asarray(key_pos), jnp.asarray(key_mask),
+        jnp.asarray(query_pos), k=k, interpret=True, window=1024,
+        bins=512, tile_q=256,
+    ))
+    ref = np.asarray(knn_interpolate(
+        jnp.asarray(x), jnp.asarray(key_pos), jnp.asarray(key_mask),
+        jnp.asarray(query_pos), None, k=k,
+    ))
+    # bf16 recombine + binned/windowed selection: close on an easy cloud
+    err = np.abs(out_w - ref) / (np.abs(ref) + 1e-2)
+    assert np.median(err) < 0.02
+    assert (err < 0.5).mean() > 0.97
+
+
+def test_window_bases_align_cross_density():
+    """searchsorted window centers stay correct when query/key valid
+    fractions differ (a proportional map would be off by thousands)."""
+    import jax.numpy as jnp
+
+    from myria3d_tpu.ops.pallas_knn import _window_bases
+
+    b, nq_pad, nk_pad = 1, 4096, 4096
+    q4 = _sorted_cloud(b, nq_pad)
+    k4 = _sorted_cloud(b, nk_pad, seed=5)
+    # key cloud: only the first 1536 are valid (bucket padding)
+    k4[:, 1536:, 3] = 1e4
+    k4[:, 1536:, 0] = 0.0  # pad x garbage must not matter
+    bases = np.asarray(_window_bases(
+        jnp.asarray(q4), jnp.asarray(k4), tile_q=256, w_chunks=2, bins=512
+    ))
+    # windows must target the VALID key prefix, never the pad tail
+    assert bases.max() * 512 <= 1536

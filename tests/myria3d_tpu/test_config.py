@@ -48,7 +48,7 @@ def test_value_overrides():
 def test_group_choice_overrides():
     cfg = compose(CONFIG_DIR, "config.yaml", ["experiment=predict"])
     assert cfg.task.task_name == "predict"
-    assert cfg.datamodule.batch_size == 50
+    assert cfg.datamodule.batch_size == 48  # multiple of v5e-8 chips
 
 
 def test_nested_group_choice_override():
@@ -186,7 +186,7 @@ def test_launch_predict_resume_skips_existing_outputs(tmp_path, monkeypatch):
 
     calls = []
 
-    def fake_predict(cfg):
+    def fake_predict(cfg, phases=None, preread=None):
         calls.append(cfg["predict"]["src_las"])
         return os.path.join(cfg["predict"]["output_dir"], "b.las")
 
