@@ -199,6 +199,13 @@ class RandLANet(nn.Module):
     # key sets are ~10-40x smaller, so the full scan is already cheap).
     # Set via predict.sorted_window / Model.set_sorted_window.
     knn_window: int = 0
+    # Sort inside the forward (device argsort by x, logits unsorted back):
+    # for TRAINING, where host-side sorting would have to chase the random
+    # flip/rotation augmentations. The predict pipeline sorts on the host
+    # instead (SortPointsByX) and keeps this off — the in-model permutation
+    # would desync the sow'd knn_graph intermediates from full_to_sampled
+    # (graph-reuse interpolation). Requires knn_window > 0 to matter.
+    sort_inputs: bool = False
 
     @nn.compact
     def __call__(
@@ -211,6 +218,18 @@ class RandLANet(nn.Module):
         d_bottleneck = max(32, self.num_classes, self.num_features)
         x = x if x is not None else pos
         x = x.astype(self.dtype)
+
+        inv_order = None
+        if self.knn_window and self.sort_inputs:
+            # device-side x-sort (pads to the end) for the windowed stage-1
+            # kNN; logits are scattered back to input order at the bottom
+            sort_key = jnp.where(mask, pos[..., 0], jnp.inf)
+            order = jnp.argsort(sort_key, axis=1)
+            take = jax.vmap(lambda t, i: t[i])
+            x = take(x, order)
+            pos = take(pos, order)
+            mask = take(mask, order)
+            inv_order = jnp.argsort(order, axis=1)
 
         x = nn.Dense(d_bottleneck, dtype=self.dtype, name="fc0")(x)
 
@@ -282,6 +301,8 @@ class RandLANet(nn.Module):
         logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc_classif")(
             x.astype(jnp.float32)
         )
+        if inv_order is not None:
+            logits = jax.vmap(lambda t, i: t[i])(logits, inv_order)
         if self.return_logits:
             return logits
         return jax.nn.log_softmax(logits, axis=-1)
