@@ -62,6 +62,11 @@ def _train_toy_checkpoint(workdir: str) -> str:
                    "datamodule.data_dir=null",
                    "datamodule.split_csv_path=null",
                    "trainer.max_epochs=25",
+                   # torch-parity BN momentum 0.01 leaves eval-mode running
+                   # stats near init after a short run (ROADMAP known gap);
+                   # the stand-in needs WARM stats so its eval-mode
+                   # predictions carry real structure for both sides
+                   "model.neural_net_hparams.bn_momentum=0.2",
                    f"hydra.run.dir={os.path.join(workdir, 'run')}"])
     update(cfg, "callbacks.model_checkpoint.dirpath",
            os.path.join(workdir, "ckpts"))
