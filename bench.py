@@ -51,6 +51,11 @@ def main() -> None:
         help="zoo entry to benchmark (driver metric = default randlanet)",
     )
     ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument(
+        "--dtype", choices=("float32", "bfloat16"), default=None,
+        help="forward compute dtype (predict.compute_dtype analog; default "
+        "= the model's f32)",
+    )
     args_cli = ap.parse_args()
 
     smoke = bool(os.environ.get("MYRIA3D_BENCH_SMOKE"))
@@ -113,6 +118,8 @@ def main() -> None:
     # predict default, configs/predict/default.yaml sorted_window)
     if not smoke:
         model.set_sorted_window(4608)
+    if args_cli.dtype:
+        model.set_compute_dtype(args_cli.dtype)
     batch = {
         "x": jnp.asarray(x), "pos": jnp.asarray(pos),
         "y": jnp.zeros((B, N), jnp.int32), "mask": jnp.asarray(mask),
@@ -160,6 +167,8 @@ def main() -> None:
     mpts = full_pts_per_s / 1e6
     baseline_per_chip = 5.0 / 8.0  # v5e-8 north star, per chip
     suffix = "" if args_cli.model == "randlanet" else f"_{args_cli.model}"
+    if args_cli.dtype == "bfloat16":
+        suffix += "_bf16"
     print(json.dumps({
         "metric": f"predict_device_throughput{suffix}",
         "value": round(mpts, 3),

@@ -36,6 +36,17 @@ MODEL_CKPT_STATE_DIR = "state"
 MODEL_CKPT_HPARAMS = "hparams.yaml"
 
 
+def _as_dtype(dtype: Any) -> Any:
+    """Normalize a config-string compute dtype ("bfloat16") to a jnp dtype."""
+    if isinstance(dtype, str):
+        return {
+            "float32": jnp.float32,
+            "bfloat16": jnp.bfloat16,
+            "float16": jnp.float16,
+        }[dtype]
+    return dtype
+
+
 class TrainState(struct.PyTreeNode):
     """Replicable training state (params + BN stats + optimizer state)."""
 
@@ -68,6 +79,15 @@ class Model:
     ):
         self.neural_net_class_name = neural_net_class_name
         self.neural_net_hparams = dict(neural_net_hparams)
+        # compute dtype knob (mixed precision): params/BN stats/logits stay
+        # f32 (MaskedBatchNorm computes f32 moments and casts back; the
+        # classification head is pinned f32) — "bfloat16" halves edge-tensor
+        # HBM traffic and runs the MXU at its native width. The reference
+        # trains f32 (torch default); f32 remains our default for parity.
+        if "dtype" in self.neural_net_hparams:
+            self.neural_net_hparams["dtype"] = _as_dtype(
+                self.neural_net_hparams["dtype"]
+            )
         neural_net_class = get_neural_net_class(neural_net_class_name)
         self.net = neural_net_class(**self.neural_net_hparams)
         # exact lax.top_k everywhere (parity path); see set_exact_knn
@@ -173,6 +193,22 @@ class Model:
         self.interp_window = int(window)
         if "knn_window" in {f.name for f in _dc.fields(type(self.net))}:
             self.neural_net_hparams["knn_window"] = int(window)
+            self.net = get_neural_net_class(self.neural_net_class_name)(
+                **self.neural_net_hparams
+            )
+        self._jitted.clear()
+
+    def set_compute_dtype(self, dtype: Any) -> None:
+        """Rebuild the net with a different compute dtype
+        (``predict.compute_dtype``). Params/BN stats/logits stay f32, so
+        any existing checkpoint state remains valid — only the traced
+        compute path changes (bf16 edge tensors halve HBM traffic; the
+        fused-interp class-flip rate is measured in EXACTNESS_r04.json).
+        """
+        import dataclasses as _dc
+
+        if "dtype" in {f.name for f in _dc.fields(type(self.net))}:
+            self.neural_net_hparams["dtype"] = _as_dtype(dtype)
             self.net = get_neural_net_class(self.neural_net_class_name)(
                 **self.neural_net_hparams
             )

@@ -92,6 +92,12 @@ def predict(config, phases: Optional[dict] = None, preread=None) -> Optional[str
     exact = bool(config["predict"].get("exact_interpolation", False))
     if bool(config["predict"].get("exact_knn", False)):
         model.set_exact_knn(True)
+    # compute_dtype="bfloat16": bf16 forward compute (params/logits stay
+    # f32) — throughput option, mutually sensible with the approx kernels;
+    # decision sensitivity quantified in EXACTNESS_r04.json.
+    compute_dtype = config["predict"].get("compute_dtype")
+    if compute_dtype:
+        model.set_compute_dtype(compute_dtype)
     if par is not None:
         interp_fn = par.exact_interp_step if exact else par.interp_step
     else:

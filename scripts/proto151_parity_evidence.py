@@ -148,17 +148,22 @@ def _oracle_predict(torch_ckpt: str, src_las: str, cfg, out_dir: str) -> str:
             idx = batch.idx_in_original_cloud[b]
             if idx is None or "pos_copy" not in copies:
                 continue
-            x = torch.from_numpy(batch.x[b, :nv])
-            pos = torch.from_numpy(
-                copies["pos_sampled_copy"][:nv].astype(np.float32)
-            )
+            # The oracle decimates KEEP-FIRST (a legal randperm draw only
+            # when its input order is uniformly random — the oracle parity
+            # test monkeypatches the flax net to the same contract). Cooked
+            # subtiles arrive in spatially-structured order, so hand the
+            # oracle a shuffled view: keep-first over it IS a uniform
+            # random decimation (reference ``pyg_randla_net.py:208-231``).
+            perm = np.random.default_rng(10_000 + n_sub).permutation(nv)
+            x = torch.from_numpy(batch.x[b, :nv][perm])
             # the forward consumes NORMALIZED pos like the flax net
-            pos_n = torch.from_numpy(batch.pos[b, :nv])
+            pos_n = torch.from_numpy(batch.pos[b, :nv][perm])
             with torch.no_grad():
                 logits = oracle(x, pos_n).numpy()          # (nv, C)
             # exact k=10 inverse-d2 interpolation to the full subtile
+            # (src rows permuted consistently with the logits rows)
             full = copies["pos_copy"].astype(np.float64)
-            src = copies["pos_sampled_copy"][:nv].astype(np.float64)
+            src = copies["pos_sampled_copy"][:nv].astype(np.float64)[perm]
             d2 = (
                 (full[:, None, :] - src[None, :, :]) ** 2
             ).sum(-1)
