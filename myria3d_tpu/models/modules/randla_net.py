@@ -52,13 +52,58 @@ class LocalFeatureAggregation(nn.Module):
     def __call__(
         self,
         x: jnp.ndarray,            # (B, N, channels//2)
-        relative_infos: jnp.ndarray,  # (B, 10, K, N) LocSE geometry (shared)
-        idx_t: jnp.ndarray,        # (B, K, N) neighbor indices (transposed)
-        nv_t: jnp.ndarray,         # (B, K, N) bool
+        relative_infos: Optional[jnp.ndarray],  # (B, 10, K, N) LocSE geometry
+        idx_t: Optional[jnp.ndarray],  # (B, K, N) neighbor indices (transposed)
+        nv_t: Optional[jnp.ndarray],   # (B, K, N) bool
         mask: jnp.ndarray,         # (B, N) bool — valid centers
         train: bool,
         x_j: Optional[jnp.ndarray] = None,  # (B, C/2, K, N) pre-gathered
+        *,
+        pos: Optional[jnp.ndarray] = None,          # fused path: (B, N, 3)
+        idx: Optional[jnp.ndarray] = None,          # fused path: (B, N, K)
+        neigh_valid: Optional[jnp.ndarray] = None,  # fused path: (B, N, K)
+        fused_window: int = 0,
     ) -> jnp.ndarray:
+        if fused_window and pos is not None:
+            # Fused windowed Pallas LFA (ops/pallas_lfa.py): the XLA
+            # neighbor gathers + (B, C, K, N) HBM edge tensors never
+            # exist. Eval-only — BN running stats fold to constants. The
+            # PARAMETER TREE stays identical to the standard branch: the
+            # same-named submodules are instantiated and probed with tiny
+            # identity inputs to extract their (eval-mode affine)
+            # constants — Dense∘BN is affine at eval, so columns of the
+            # probe output ARE the folded weights.
+            from myria3d_tpu.ops import pallas_lfa
+            from myria3d_tpu.ops.pallas_lfa import lfa_attention_pallas
+
+            f32 = jnp.float32
+            c = self.channels
+            c_in = c // 2
+            enc_probe_in = jnp.concatenate(
+                [jnp.eye(10, dtype=f32), jnp.zeros((10, 1), f32)], axis=1
+            )[None, :, None, :]                         # (1, 10, 1, 11)
+            enc_probe = SharedMLPCF(
+                [c_in], bn_momentum=self.bn_momentum, dtype=f32,
+                act=False, name="mlp_encoder",
+            )(enc_probe_in, None, False)
+            enc_aff = enc_probe[0, :, 0, :]             # (c_in, 11)
+            enc_a = enc_aff[:, :10] - enc_aff[:, 10:11]
+            enc_c = enc_aff[:, 10]
+            att_probe_in = jnp.eye(c, dtype=f32)[None, :, None, :]
+            att_probe = SharedMLPCF(
+                [c], act=False, norm=False, use_bias=False, dtype=f32,
+                name="mlp_attention",
+            )(att_probe_in, None, False)
+            att_t = att_probe[0, :, 0, :]               # (C, C) = kernel^T
+            pooled = lfa_attention_pallas(
+                x.astype(f32), pos, mask, idx, neigh_valid,
+                enc_a, enc_c, att_t, window=fused_window,
+                interpret=pallas_lfa.FORCE_INTERPRET,
+            )
+            return SharedMLP(
+                [c], bn_momentum=self.bn_momentum,
+                dtype=self.dtype, name="mlp_post_attention",
+            )(pooled.astype(self.dtype), mask, train)
         # Channels-first (B, C, K, N) internals: the large N axis rides the
         # lane dimension. The natural (B, N, K, C) layout tile-pads C=4-16
         # to 128 lanes, inflating every edge tensor 8-32x (perf_notes.md).
@@ -104,8 +149,10 @@ class DilatedResidualBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     exact_knn: bool = False
     # x-sorted window for the kNN graph (positions; 0 = full scan). Only
-    # valid when the block's input cloud is x-sorted — RandLANet passes it
-    # for block1 only (decimation destroys the order for deeper stages).
+    # valid when the block's input cloud is x-sorted — order-preserving
+    # random decimation (ops/sampling.py) keeps every encoder stage
+    # sorted, so RandLANet passes it to all four blocks (the kernel
+    # auto-disables itself when window >= the stage's key count).
     knn_window: int = 0
 
     @nn.compact
@@ -127,6 +174,32 @@ class DilatedResidualBlock(nn.Module):
                       dtype=self.dtype, name="mlp1")(
             x, mask, train
         )
+        from myria3d_tpu.ops.pallas_lfa import lfa_fused_available
+
+        if (
+            self.knn_window > 0 and not train
+            and lfa_fused_available(
+                pos.shape[1], self.num_neighbors, self.knn_window,
+                c_in=self.d_out // 4,
+            )
+        ):
+            # Fused windowed LFA: no wide gather, no (B, C, K, N) edge
+            # tensors — see LocalFeatureAggregation's fused branch.
+            x = LocalFeatureAggregation(
+                self.d_out // 4, bn_momentum=self.bn_momentum,
+                dtype=self.dtype, name="lfa1",
+            )(x, None, None, None, mask, train, pos=pos, idx=idx,
+              neigh_valid=neigh_valid, fused_window=self.knn_window)
+            x = LocalFeatureAggregation(
+                self.d_out // 2, bn_momentum=self.bn_momentum,
+                dtype=self.dtype, name="lfa2",
+            )(x, None, None, None, mask, train, pos=pos, idx=idx,
+              neigh_valid=neigh_valid, fused_window=self.knn_window)
+            x = SharedMLP(
+                [self.d_out], act=False, bn_momentum=self.bn_momentum,
+                dtype=self.dtype, name="mlp2",
+            )(x, mask, train)
+            return lrelu(x + shortcut_of_x)
         # LocSE geometry, built once for both LFAs (they share the graph):
         # (B, 10, K, N) = [pos_i, pos_j, pos_diff, |diff|] channels-first
         idx_t = jnp.swapaxes(idx, 1, 2)                        # (B, K, N)
@@ -193,11 +266,12 @@ class RandLANet(nn.Module):
     # ~20x slower selection on TPU; meant for checkpoint-parity evaluation
     # (predict.exact_knn) and approximation-sensitivity measurements.
     exact_knn: bool = False
-    # Windowed stage-1 kNN over x-SORTED inputs (positions; 0 = off):
-    # requires the SortPointsByX transform upstream. Block 1 only — the
-    # random decimation destroys sorted order for deeper stages (their
-    # key sets are ~10-40x smaller, so the full scan is already cheap).
-    # Set via predict.sorted_window / Model.set_sorted_window.
+    # Windowed kNN over x-SORTED inputs (positions; 0 = off): requires the
+    # SortPointsByX transform upstream (or sort_inputs). Order-preserving
+    # decimation keeps every stage sorted, so the window serves all four
+    # encoder graphs AND the decoder's k=1 upsampling searches; stages
+    # whose key count is within the window fall back to the full scan
+    # automatically. Set via predict.sorted_window / Model.set_sorted_window.
     knn_window: int = 0
     # Sort inside the forward (device argsort by x, logits unsorted back):
     # for TRAINING, where host-side sorting would have to chase the random
@@ -251,7 +325,7 @@ class RandLANet(nn.Module):
             x = block_cls(
                 self.num_neighbors, d_out, bn_momentum=self.bn_momentum,
                 dtype=self.dtype, exact_knn=self.exact_knn,
-                knn_window=self.knn_window if i == 0 else 0,
+                knn_window=self.knn_window,
                 name=f"block{i + 1}",
             )(x, pos, mask, train)
             if i == 0:
@@ -286,6 +360,11 @@ class RandLANet(nn.Module):
             x = knn_interpolate(
                 x, pos, mask, pos_skip, mask_skip, k=1,
                 exact=self.exact_knn,
+                # sorted clouds at every stage (order-preserving
+                # decimation) let the k=1 search window too — it was the
+                # single largest kernel of the 40k predict forward
+                # (67 ms of 408, docs/perf_notes.md round 4 cont.)
+                window=self.knn_window,
             ).astype(self.dtype)
             x = jnp.concatenate([x, x_skip], axis=-1)
             x = SharedMLP([width], bn_momentum=self.bn_momentum, dtype=self.dtype,

@@ -54,7 +54,10 @@ def knn_interpolate(
             # fused Pallas nearest-neighbor: distances never leave VMEM
             from myria3d_tpu.ops.pallas_nn1 import nearest_neighbor_pallas
 
-            idx1, d21 = nearest_neighbor_pallas(pos_tgt, pos_src, src_mask)
+            idx1, d21 = nearest_neighbor_pallas(
+                pos_tgt, pos_src, src_mask, window=window,
+                query_mask=tgt_mask,
+            )
             valid1 = d21 < 0.25e8
             if tgt_mask is not None:
                 valid1 = valid1 & tgt_mask
@@ -73,7 +76,8 @@ def knn_interpolate(
         # the (B, Nt, K, C) logits gather (the interp step's largest op,
         # ~12 ns/row floor) never materializes.
         out = knn_interpolate_pallas(
-            x, pos_src, src_mask, pos_tgt, k=k, window=window
+            x, pos_src, src_mask, pos_tgt, k=k, window=window,
+            query_mask=tgt_mask,
         )
         if tgt_mask is not None:
             out = jnp.where(tgt_mask[..., None], out, 0.0)

@@ -143,7 +143,9 @@ def knn(
         )
 
         if knn_pallas_available(k_eff, nk):
-            idx, d2 = knn_topk_pallas(q4, k4, k_eff, window=window)
+            idx, d2 = knn_topk_pallas(
+                q4, k4, k_eff, window=window, query_mask=query_mask
+            )
             return _finalize(idx, d2, k, k_eff, query_mask)
 
     single = functools.partial(

@@ -58,20 +58,40 @@ _INF = 3e38
 _BIG_I = 2**30
 
 
-def _extract_topk(state_s, state_i, idx_ref, s_ref, k_out: int):
+def _extract_topk(state_s, state_i, idx_ref, s_ref, k_out: int,
+                  k_real: int = 0):
+    """``k_real`` extraction passes fill the first slots; the remaining
+    ``k_out - k_real`` output slots (the multiple-of-16 shape padding the
+    VPU variant needs, see ``_topk_impl``) are memset to pad sentinels.
+    The decoder's k=1 searches previously paid 16 min-passes per tile for
+    one real neighbor — the extraction, not the distance streaming, was
+    ~2/3 of the windowed kernel's time (docs/perf_notes.md round 4 cont.)."""
+    k_real = k_real or k_out
+    m = am = None
     for t in range(k_out):                                  # static unroll
-        m = jnp.min(state_s, axis=1, keepdims=True)         # (TQ, 1)
-        sel = state_s == m
-        # index of the winning bin via a min-reduce — no cross-lane gather
-        am = jnp.min(
-            jnp.where(sel, state_i, jnp.int32(_BIG_I)), axis=1, keepdims=True
-        )
+        if t < k_real:
+            m = jnp.min(state_s, axis=1, keepdims=True)     # (TQ, 1)
+            sel = state_s == m
+            # index of the winning bin via min-reduce — no cross-lane gather
+            am = jnp.min(
+                jnp.where(sel, state_i, jnp.int32(_BIG_I)),
+                axis=1, keepdims=True,
+            )
+        # slots beyond k_real repeat the last extracted column: callers
+        # always slice [:k] with k <= k_real, and structurally-identical
+        # writes are what keeps Mosaic from stack-allocating the whole
+        # output tuple in scoped VMEM (any differently-shaped pad write
+        # re-triggered the minor-dim-4-operand OOM the multiple-of-16
+        # k_out exists to dodge). The skipped min-passes were ~2/3 of the
+        # windowed k=1 decoder kernel's time.
         s_ref[0, :, t:t + 1] = m
         idx_ref[0, :, t:t + 1] = am
-        state_s = jnp.where(sel & (state_i == am), _INF, state_s)
+        if t < k_real:
+            state_s = jnp.where(sel & (state_i == am), _INF, state_s)
 
 
-def _knn_kernel(qt_ref, kt_ref, idx_ref, s_ref, *, k_out: int, bins: int):
+def _knn_kernel(qt_ref, kt_ref, idx_ref, s_ref, *, k_out: int, bins: int,
+                k_real: int = 0):
     """One (cloud, query-tile) step — MXU cross-term variant.
 
     qt_ref: (1, 4, TQ) VMEM — transposed query coords;
@@ -102,10 +122,11 @@ def _knn_kernel(qt_ref, kt_ref, idx_ref, s_ref, *, k_out: int, bins: int):
         state_s = jnp.where(better, s, state_s)
         state_i = jnp.where(better, lane + c * bins, state_i)
 
-    _extract_topk(state_s, state_i, idx_ref, s_ref, k_out)
+    _extract_topk(state_s, state_i, idx_ref, s_ref, k_out, k_real)
 
 
-def _knn_kernel_vpu(q_ref, kt_ref, idx_ref, s_ref, *, k_out: int, bins: int):
+def _knn_kernel_vpu(q_ref, kt_ref, idx_ref, s_ref, *, k_out: int, bins: int,
+                    k_real: int = 0):
     """One (cloud, query-tile) step — VPU difference variant.
 
     Scores are TRUE squared distances sum_d (q_d - k_d)^2 accumulated on the
@@ -145,11 +166,12 @@ def _knn_kernel_vpu(q_ref, kt_ref, idx_ref, s_ref, *, k_out: int, bins: int):
         state_s = jnp.where(better, s, state_s)
         state_i = jnp.where(better, lane + c * bins, state_i)
 
-    _extract_topk(state_s, state_i, idx_ref, s_ref, k_out)
+    _extract_topk(state_s, state_i, idx_ref, s_ref, k_out, k_real)
 
 
 def _knn_kernel_vpu_win(base_ref, q_ref, kt_ref, idx_ref, s_ref, *,
-                        k_out: int, bins: int, w_chunks: int):
+                        k_out: int, bins: int, w_chunks: int,
+                        k_real: int = 0):
     """Windowed VPU variant: x-SORTED clouds only. Instead of streaming
     every key chunk, scan ``w_chunks`` chunks starting at this query
     tile's prefetched window base (``base_ref``, computed outside by
@@ -188,7 +210,7 @@ def _knn_kernel_vpu_win(base_ref, q_ref, kt_ref, idx_ref, s_ref, *,
         state_s = jnp.where(better, s, state_s)
         state_i = jnp.where(better, lane + off, state_i)
 
-    _extract_topk(state_s, state_i, idx_ref, s_ref, k_out)
+    _extract_topk(state_s, state_i, idx_ref, s_ref, k_out, k_real)
 
 
 def _interp_kernel_vpu(q_ref, kt_ref, pt_ref, out_ref, *, k_out: int,
@@ -354,18 +376,34 @@ def _window_chunks(window: int, nk_pad: int, bins: int) -> int:
 
 
 def _window_bases(q4p: jnp.ndarray, k4p: jnp.ndarray, tile_q: int,
-                  w_chunks: int, bins: int) -> jnp.ndarray:
+                  w_chunks: int, bins: int,
+                  query_mask: jnp.ndarray = None) -> jnp.ndarray:
     """(B, n_tiles) int32 window base CHUNK per query tile.
 
     The tile's mid-x is searchsorted into the keys' x column (pad keys —
     w != 0 — replaced by +inf so the valid sorted prefix stays monotone):
     exact quantile alignment regardless of query/key density or pad-count
     mismatch (a proportional position map would drift by thousands of
-    positions when the two clouds' valid fractions differ)."""
+    positions when the two clouds' valid fractions differ).
+
+    ``query_mask`` (B, Nq) bool, when given, guards the valid/pad BOUNDARY
+    tile: pad query rows carry meaningless coords (decimated stages gather
+    slot 0 — near the cloud's x-minimum), so a boundary tile's raw mid
+    element could alias the far left edge and strand the tile's real
+    queries (the largest-x points of the cloud) with a window around the
+    wrong slab. The probe position is clamped to the last valid row."""
     b, nq_pad, _ = q4p.shape
     nk_pad = k4p.shape[1]
     n_tiles = nq_pad // tile_q
-    qx = q4p[..., 0].reshape(b, n_tiles, tile_q)[:, :, tile_q // 2]
+    mid = jnp.arange(n_tiles, dtype=jnp.int32) * tile_q + tile_q // 2
+    if query_mask is not None:
+        last_valid = jnp.maximum(
+            jnp.sum(query_mask, axis=1).astype(jnp.int32) - 1, 0
+        )                                                   # (B,)
+        probe = jnp.minimum(mid[None, :], last_valid[:, None])
+    else:
+        probe = jnp.broadcast_to(mid[None, :], (b, n_tiles))
+    qx = jnp.take_along_axis(q4p[..., 0], probe, axis=1)    # (B, n_tiles)
     kx = jnp.where(k4p[..., 3] == 0.0, k4p[..., 0], jnp.inf)
     pos = jax.vmap(jnp.searchsorted)(kx, qx)                # (B, n_tiles)
     n_chunks = nk_pad // bins
@@ -398,6 +436,7 @@ def knn_topk_pallas(
     interpret: bool = False,
     variant: str = "vpu",
     window: int = 0,
+    query_mask: jnp.ndarray = None,   # (B, Nq) bool — window-bases guard only
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Binned approximate top-k nearest keys for every query.
 
@@ -423,12 +462,17 @@ def knn_topk_pallas(
     gradients for, while pallas_call itself has no AD rule — without the
     wrapper, jit(grad(train_step)) fails to linearize.
     """
-    return _topk_nodiff(q4, k4, k, tile_q, bins, interpret, variant, window)
+    return _topk_nodiff(
+        q4, k4, query_mask, k, tile_q, bins, interpret, variant, window
+    )
 
 
-@functools.partial(jax.custom_jvp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
-def _topk_nodiff(q4, k4, k, tile_q, bins, interpret, variant, window):
-    return _topk_impl(q4, k4, k, tile_q, bins, interpret, variant, window)
+@functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _topk_nodiff(q4, k4, query_mask, k, tile_q, bins, interpret, variant,
+                 window):
+    return _topk_impl(
+        q4, k4, k, tile_q, bins, interpret, variant, window, query_mask
+    )
 
 
 @_topk_nodiff.defjvp
@@ -451,6 +495,7 @@ def _topk_impl(
     interpret: bool = False,
     variant: str = "vpu",
     window: int = 0,
+    query_mask: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     if variant not in ("vpu", "mxu"):
         raise ValueError(f"unknown kNN kernel variant {variant!r}")
@@ -506,10 +551,16 @@ def _topk_impl(
         jax.ShapeDtypeStruct((b, nq_pad, k_kernel), jnp.float32),
     ]
     if windowed:
+        # Partial extraction (k_real < k_out) is validated ONLY for the
+        # windowed kernel at tile_q 256: other combinations re-trigger the
+        # whole-output scoped-VMEM stack allocation (21.8 MB compile OOM
+        # observed for both full-scan k=1 at tile 256 and windowed at
+        # tile 512) — they keep the full k_out extraction.
         kernel = functools.partial(
-            _knn_kernel_vpu_win, k_out=k_kernel, bins=bins, w_chunks=w_chunks
+            _knn_kernel_vpu_win, k_out=k_kernel, bins=bins, w_chunks=w_chunks,
+            k_real=k if tile_q == 256 else k_kernel,
         )
-        bases = _window_bases(q4p, k4p, tile_q, w_chunks, bins)
+        bases = _window_bases(q4p, k4p, tile_q, w_chunks, bins, query_mask)
         idx, score = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -588,6 +639,7 @@ def knn_interpolate_pallas(
     bins: int = BINS,
     interpret: bool = False,
     window: int = 0,
+    query_mask: jnp.ndarray = None,   # (B, Nq) bool — window-bases guard only
 ) -> jnp.ndarray:
     """Fused binned-kNN + inverse-squared-distance interpolation.
 
@@ -647,7 +699,7 @@ def knn_interpolate_pallas(
             _interp_kernel_vpu_win, k_out=min(k, nk), bins=bins,
             valid_thresh=_VALID_THRESH, w_chunks=w_chunks,
         )
-        bases = _window_bases(q4p, k4p, tile_q, w_chunks, bins)
+        bases = _window_bases(q4p, k4p, tile_q, w_chunks, bins, query_mask)
         out = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -24,15 +24,22 @@ import jax.numpy as jnp
 
 from myria3d_tpu.ops.knn import _augment_keys, _augment_queries
 
-TILE_Q = 512
+# 256 matches the shared kernel's default: at 512 the windowed k=1
+# variant with single-pass extraction stack-allocates a full cloud's
+# double-buffered (Nq, 16) output pair in scoped VMEM (21.8 MB — compile
+# OOM); at 256 it compiles and runs 36.7 ms vs 60.4 ms at the 40k
+# decoder shape (docs/perf_notes.md round 4 cont.).
+TILE_Q = 256
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "window"))
 def nearest_neighbor_pallas(
     query_pos: jnp.ndarray,   # (B, Nq, 3)
     key_pos: jnp.ndarray,     # (B, Nk, 3)
     key_mask: jnp.ndarray,    # (B, Nk) bool
     interpret: bool = False,
+    window: int = 0,
+    query_mask: jnp.ndarray = None,   # (B, Nq) bool — window-bases guard
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-cloud nearest valid key for every query.
 
@@ -58,7 +65,15 @@ def nearest_neighbor_pallas(
     k4 = _augment_keys(key_pos - offset, key_mask)
     from myria3d_tpu.ops.pallas_knn import knn_topk_pallas
 
-    idx, d2 = knn_topk_pallas(q4, k4, 1, tile_q=TILE_Q, interpret=interpret)
+    # ``window > 0`` requires BOTH clouds x-sorted (order-preserving
+    # decimation keeps every encoder stage sorted, so the decoder's k=1
+    # upsampling searches qualify): the kernel scans only ~window sorted
+    # key positions per query tile. k=1 stays exact WITHIN the window
+    # (binning never loses a global minimum).
+    idx, d2 = knn_topk_pallas(
+        q4, k4, 1, tile_q=TILE_Q, interpret=interpret, window=window,
+        query_mask=query_mask,
+    )
     return idx[:, :, 0], d2[:, :, 0]
 
 

@@ -51,6 +51,15 @@ def random_decimation(
     kept = jnp.where(valid_counts > 0, kept, 0)
     slot = jnp.arange(n_out, dtype=jnp.int32)[None, :]
     new_mask = slot < kept[:, None]
+    # Emit the kept subset in ASCENDING index order (invalid slots pushed
+    # past every real index before the sort, then re-zeroed): the sampled
+    # SET and its distribution are unchanged — order is semantically
+    # irrelevant downstream — but an x-sorted input cloud now stays
+    # x-sorted through every decimation stage, which is what lets the
+    # windowed Pallas kNN kernels (encoder stages 2-4, decoder k=1
+    # upsampling) keep scanning slabs instead of whole key sets
+    # (docs/perf_notes.md round 4).
+    idx = jnp.sort(jnp.where(new_mask, idx, jnp.int32(n)), axis=1)
     idx = jnp.where(new_mask, idx, 0).astype(jnp.int32)
     return idx, new_mask
 

@@ -217,3 +217,15 @@ def test_gather_neighbors():
     out = np.asarray(gather_neighbors(x, idx))
     assert out.shape == (1, 2, 2, 4)
     np.testing.assert_array_equal(out[0, 0, 1], np.arange(8, 12))
+
+
+def test_random_decimation_preserves_sorted_order():
+    """Order-preserving decimation: kept indices ascend, so an x-sorted
+    cloud stays x-sorted through every stage (windowed kNN contract)."""
+    mask = np.ones((2, 512), dtype=bool)
+    mask[1, 300:] = False
+    idx, new_mask = random_decimation(jax.random.PRNGKey(3), jnp.asarray(mask), 4)
+    idx, new_mask = np.asarray(idx), np.asarray(new_mask)
+    for b in range(2):
+        kept = idx[b][new_mask[b]]
+        assert (np.diff(kept) > 0).all()

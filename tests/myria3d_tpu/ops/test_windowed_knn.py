@@ -204,3 +204,59 @@ def test_window_bases_align_cross_density():
     ))
     # windows must target the VALID key prefix, never the pad tail
     assert bases.max() * 512 <= 1536
+
+
+def test_windowed_nn1_decoder_density_exact():
+    """The decoder k=1 upsampling shape: queries at 4x key density (the
+    skip cloud searching the decimated cloud). k=1 is exact WITHIN the
+    window, so nearly every query must find its true nearest key."""
+    import jax.numpy as jnp
+
+    from myria3d_tpu.ops.pallas_knn import knn_topk_pallas
+
+    b, nq, nk = 1, 4096, 1024
+    q4 = _sorted_cloud(b, nq, seed=7)
+    k4 = _sorted_cloud(b, nk, seed=8)
+    idx_w, d2_w = knn_topk_pallas(
+        jnp.asarray(q4), jnp.asarray(k4), 1, interpret=True, window=512,
+        bins=512, tile_q=256,
+    )
+    idx_e, d2_e = _exact_ref(q4, k4, 1)
+    agree = (np.asarray(idx_w) == idx_e).mean()
+    assert agree > 0.995, agree
+
+
+def test_window_bases_boundary_tile_uses_query_mask():
+    """Decimated stages gather slot 0 for pad rows, so a boundary tile's
+    raw mid element can alias the cloud's x-MINIMUM and pull the window to
+    the wrong edge; the query_mask guard clamps the probe to the last
+    valid row."""
+    import jax.numpy as jnp
+
+    from myria3d_tpu.ops.pallas_knn import _window_bases
+
+    b, nq_pad, nk_pad = 1, 2048, 2048
+    q4 = _sorted_cloud(b, nq_pad)
+    k4 = q4.copy()
+    n_valid = 1100   # boundary tile = tile 4 (rows 1024..1280), mid at 1152
+    qmask = np.zeros((b, nq_pad), bool)
+    qmask[:, :n_valid] = True
+    # pad rows mimic the decimated gather-slot-0 artifact: x-minimum coords
+    q4[:, n_valid:, :3] = q4[:, 0:1, :3]
+    k4[:, n_valid:, 3] = 1e4
+
+    w_chunks, bins = 2, 512
+    naive = np.asarray(_window_bases(
+        jnp.asarray(q4), jnp.asarray(k4), 256, w_chunks, bins
+    ))
+    guarded = np.asarray(_window_bases(
+        jnp.asarray(q4), jnp.asarray(k4), 256, w_chunks, bins,
+        query_mask=jnp.asarray(qmask),
+    ))
+    t_boundary = n_valid // 256  # tile whose mid element is a pad row
+    # naive probe reads the aliased x-min pad row -> window at the left edge
+    assert naive[0, t_boundary] == 0
+    # guarded probe follows the last valid x -> window covers the tail keys
+    lo = guarded[0, t_boundary] * bins
+    assert lo + w_chunks * bins >= n_valid
+    assert lo <= n_valid - 1
