@@ -159,9 +159,23 @@ class DilatedResidualBlock(nn.Module):
     def __call__(
         self, x: jnp.ndarray, pos: jnp.ndarray, mask: jnp.ndarray, train: bool
     ) -> jnp.ndarray:
+        # Clamp the window to the largest value the stage's key count can
+        # actually honor (w_chunks < n_chunks): deeper stages otherwise
+        # fall back to the full scan AND lose the fused LFA — at the 12k
+        # bucket block2's two gathers alone are ~33 ms at B=48. A thin
+        # x-slab's neighbor span SHRINKS with the stage's point count, so
+        # a proportionally tighter window keeps its capture.
+        window = self.knn_window
+        if window:
+            from myria3d_tpu.ops.pallas_knn import BINS
+
+            nk_pad = -(-pos.shape[1] // BINS) * BINS
+            max_win = (nk_pad // BINS - 2) * BINS
+            if max_win >= 2 * BINS:
+                window = min(window, max_win)
         idx, _, neigh_valid = knn_graph(
             pos, mask, self.num_neighbors, exact=self.exact_knn,
-            window=self.knn_window,
+            window=window,
         )
         # expose the graph (apply with mutable=["intermediates"]) — reused
         # by graph-interpolation at predict time (ops/graph_interp.py)
@@ -177,9 +191,9 @@ class DilatedResidualBlock(nn.Module):
         from myria3d_tpu.ops.pallas_lfa import lfa_fused_available
 
         if (
-            self.knn_window > 0 and not train
+            window > 0 and not train
             and lfa_fused_available(
-                pos.shape[1], self.num_neighbors, self.knn_window,
+                pos.shape[1], self.num_neighbors, window,
                 c_in=self.d_out // 4,
             )
         ):
@@ -189,12 +203,12 @@ class DilatedResidualBlock(nn.Module):
                 self.d_out // 4, bn_momentum=self.bn_momentum,
                 dtype=self.dtype, name="lfa1",
             )(x, None, None, None, mask, train, pos=pos, idx=idx,
-              neigh_valid=neigh_valid, fused_window=self.knn_window)
+              neigh_valid=neigh_valid, fused_window=window)
             x = LocalFeatureAggregation(
                 self.d_out // 2, bn_momentum=self.bn_momentum,
                 dtype=self.dtype, name="lfa2",
             )(x, None, None, None, mask, train, pos=pos, idx=idx,
-              neigh_valid=neigh_valid, fused_window=self.knn_window)
+              neigh_valid=neigh_valid, fused_window=window)
             x = SharedMLP(
                 [self.d_out], act=False, bn_momentum=self.bn_momentum,
                 dtype=self.dtype, name="mlp2",
