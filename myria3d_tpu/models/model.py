@@ -191,8 +191,14 @@ class Model:
         import dataclasses as _dc
 
         self.interp_window = int(window)
-        if "knn_window" in {f.name for f in _dc.fields(type(self.net))}:
+        fields = {f.name for f in _dc.fields(type(self.net))}
+        if "knn_window" in fields:
             self.neural_net_hparams["knn_window"] = int(window)
+            # host-side SortPointsByX owns the sorting contract at predict:
+            # a train checkpoint's sort_inputs=true hparam would pay a
+            # redundant in-model argsort (identity permutation) per batch
+            if "sort_inputs" in fields:
+                self.neural_net_hparams["sort_inputs"] = False
             self.net = get_neural_net_class(self.neural_net_class_name)(
                 **self.neural_net_hparams
             )

@@ -60,9 +60,10 @@ class LocalFeatureAggregation(nn.Module):
         x_j: Optional[jnp.ndarray] = None,  # (B, C/2, K, N) pre-gathered
         *,
         pos: Optional[jnp.ndarray] = None,          # fused path: (B, N, 3)
-        idx: Optional[jnp.ndarray] = None,          # fused path: (B, N, K)
-        neigh_valid: Optional[jnp.ndarray] = None,  # fused path: (B, N, K)
+        idx: Optional[jnp.ndarray] = None,          # fused/windowed: (B, N, K)
+        neigh_valid: Optional[jnp.ndarray] = None,  # fused/windowed: (B, N, K)
         fused_window: int = 0,
+        gather_window: int = 0,    # windowed MXU gather for x_j (train path)
     ) -> jnp.ndarray:
         if fused_window and pos is not None:
             # Fused windowed Pallas LFA (ops/pallas_lfa.py): the XLA
@@ -118,7 +119,17 @@ class LocalFeatureAggregation(nn.Module):
         )(relative_infos, nv_t, train)
         if x_j is None:
             x_cf = jnp.swapaxes(x, 1, 2)                       # (B, C/2, N)
-            x_j = jax.vmap(lambda t, i: t[:, i])(x_cf, idx_t)  # (B, C/2, K, N)
+            if gather_window and idx is not None:
+                # windowed one-hot MXU gather + scatter-add VJP
+                # (ops/pallas_gather.py) — the block verified availability
+                from myria3d_tpu.ops import pallas_gather
+
+                x_j = pallas_gather.gather_neighbors_windowed(
+                    x_cf, idx, neigh_valid, gather_window,
+                    interpret=pallas_gather.FORCE_INTERPRET,
+                ).astype(x_cf.dtype)
+            else:
+                x_j = jax.vmap(lambda t, i: t[:, i])(x_cf, idx_t)
         local_features = jnp.concatenate(
             [x_j, local_spatial_encoding], axis=1
         )                                                      # (B, C, K, N)
@@ -223,9 +234,44 @@ class DilatedResidualBlock(nn.Module):
         # neighbor features: XLA gathers are descriptor-bound, so fewer,
         # wider gathers beat many narrow ones (~15-25 ms each at 12k).
         x1_cf = jnp.swapaxes(x, 1, 2)                          # (B, C1, N)
-        g = jax.vmap(lambda t, i: t[:, i])(
-            jnp.concatenate([pos_cf, x1_cf], axis=1), idx_t
-        )                                                      # (B, 3+C1, K, N)
+        # Windowed one-hot MXU gather + scatter-add VJP over x-sorted
+        # clouds (ops/pallas_gather.py): replaces BOTH descriptor-bound
+        # XLA gathers AND their scatter VJPs — the train step's bound
+        # (docs/perf_notes.md round 4). Valid only when the windowed
+        # Pallas kNN produced idx (every index in-window per query tile).
+        from myria3d_tpu.ops import pallas_gather
+        from myria3d_tpu.ops.pallas_knn import knn_pallas_available
+
+        n_stage = pos.shape[1]
+        p_wide = 3 + x1_cf.shape[1]
+        p_lfa2 = self.d_out // 4
+        use_wg = (
+            window > 0 and not self.exact_knn
+            and x.dtype == jnp.float32
+            and knn_pallas_available(
+                min(self.num_neighbors, n_stage), n_stage
+            )
+            and (
+                pallas_gather.FORCE_INTERPRET
+                or (
+                    pallas_gather.gather_windowed_available(
+                        n_stage, self.num_neighbors, p_wide, window
+                    )
+                    and pallas_gather.gather_windowed_available(
+                        n_stage, self.num_neighbors, p_lfa2, window
+                    )
+                )
+            )
+        )
+        if use_wg:
+            g = pallas_gather.gather_neighbors_windowed(
+                jnp.concatenate([pos_cf, x1_cf], axis=1), idx, neigh_valid,
+                window, interpret=pallas_gather.FORCE_INTERPRET,
+            ).astype(self.dtype)                               # (B, 3+C1, K, N)
+        else:
+            g = jax.vmap(lambda t, i: t[:, i])(
+                jnp.concatenate([pos_cf, x1_cf], axis=1), idx_t
+            )                                                  # (B, 3+C1, K, N)
         pos_j, x1_j = g[:, :3], g[:, 3:]
         pos_i = pos_cf[:, :, None, :]                          # (B, 3, 1, N)
         pos_diff = pos_j - pos_i
@@ -243,7 +289,9 @@ class DilatedResidualBlock(nn.Module):
         x = LocalFeatureAggregation(
             self.d_out // 2, bn_momentum=self.bn_momentum,
             dtype=self.dtype, name="lfa2",
-        )(x, relative_infos, idx_t, nv_t, mask, train)
+        )(x, relative_infos, idx_t, nv_t, mask, train,
+          idx=idx, neigh_valid=neigh_valid,
+          gather_window=window if use_wg else 0)
         x = SharedMLP([self.d_out], act=False, bn_momentum=self.bn_momentum,
                       dtype=self.dtype, name="mlp2")(
             x, mask, train

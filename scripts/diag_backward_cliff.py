@@ -121,7 +121,9 @@ def main():
           "bwd ms/pt | Gflops | GB accessed | B/pt | peak HBM GB | temp GB |")
     print("|---|---|---|---|---|---|---|---|---|---|---|")
     for b in bs:
-        batch = _batch(b, n)
+        # device-put once: re-uploading the numpy batch per step costs
+        # ~300 ms through a degraded tunnel and swamps the device time
+        batch = jax.device_put(_batch(b, n))
         a = (state0, batch["x"], batch["pos"], batch["y"], batch["mask"], rng)
         t_fwd = _time(fwd_fn, a) * 1e3
         t_grad = _time(grad_fn, a) * 1e3
