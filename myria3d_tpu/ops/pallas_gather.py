@@ -69,7 +69,11 @@ def _scatter_kernel(base_ref, idx_ref, dout_ref, dpt_ref, *,
     the inner tile loop; written back when the cloud index advances).
 
     base_ref: (B, n_tiles) scalar-prefetched window base chunk;
-    idx_ref:  (1, TQ, K) i32 neighbor indices, invalid = -1;
+    idx_ref:  (1, K, TQ) i32 TRANSPOSED neighbor indices, invalid = -1 —
+        lane-major queries slice straight out of the (B, K, Nq) layout
+        the forward gather and the LFA's nv_t already consume, so Pallas
+        block reads need NO idx relayout copy (a (B, Nq, K) operand
+        measured a 9 ms tile-form conversion per step);
     dout_ref: (1, P_pad, K, TQ) f32 cotangents;
     dpt_ref:  (1, P_pad, Nk_pad) f32 gradient block.
     """
@@ -81,8 +85,8 @@ def _scatter_kernel(base_ref, idx_ref, dout_ref, dpt_ref, *,
     def _():
         dpt_ref[...] = jnp.zeros_like(dpt_ref)
 
-    idxm = idx_ref[0]                                       # (TQ, K)
-    tq = idxm.shape[0]
+    idxm = idx_ref[0]                                       # (K, TQ)
+    tq = idxm.shape[1]
     idx_min = jnp.min(jnp.where(idxm >= 0, idxm, jnp.int32(_BIG_I)))
     idx_max = jnp.max(idxm)                                 # invalid = -1
 
@@ -93,15 +97,16 @@ def _scatter_kernel(base_ref, idx_ref, dout_ref, dpt_ref, *,
 
         @pl.when((off + _GBINS > idx_min) & (off <= idx_max))
         def _():
-            lane = off + jax.lax.broadcasted_iota(
-                jnp.int32, (tq, _GBINS), 1
+            # one-hot transposed: (g, TQ) sublane-iota vs the (1, TQ) row
+            key = off + jax.lax.broadcasted_iota(
+                jnp.int32, (_GBINS, tq), 0
             )
             if grad_precision == "hilo":
                 contrib = jnp.zeros((2 * p_pad, _GBINS), jnp.float32)
                 for kk in range(k):                         # static unroll
-                    onehot = (lane == idxm[:, kk:kk + 1]).astype(
+                    onehot = (key == idxm[kk:kk + 1, :]).astype(
                         jnp.bfloat16
-                    )
+                    )                                       # (g, TQ)
                     dk = dout_ref[0, :, kk, :]              # (P_pad, TQ)
                     dk_hi = dk.astype(jnp.bfloat16)
                     dk_lo = (dk - dk_hi.astype(jnp.float32)).astype(
@@ -109,7 +114,7 @@ def _scatter_kernel(base_ref, idx_ref, dout_ref, dpt_ref, *,
                     )
                     contrib += jax.lax.dot_general(
                         jnp.concatenate([dk_hi, dk_lo], axis=0), onehot,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
                 dpt_ref[0, :, pl.ds(off, _GBINS)] += (
@@ -118,28 +123,30 @@ def _scatter_kernel(base_ref, idx_ref, dout_ref, dpt_ref, *,
             else:
                 contrib = jnp.zeros((p_pad, _GBINS), jnp.float32)
                 for kk in range(k):                         # static unroll
-                    onehot = (lane == idxm[:, kk:kk + 1]).astype(
+                    onehot = (key == idxm[kk:kk + 1, :]).astype(
                         jnp.float32
                     )
                     contrib += jax.lax.dot_general(
                         dout_ref[0, :, kk, :], onehot,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST,
                     )
                 dpt_ref[0, :, pl.ds(off, _GBINS)] += contrib
 
 
-def _bases_from_idx(idx_m: jnp.ndarray, tile_q: int, bins: int,
+def _bases_from_idx(idx_mt: jnp.ndarray, tile_q: int, bins: int,
                     w_chunks: int, n_chunks: int) -> jnp.ndarray:
     """(B, n_tiles) base CHUNK per query tile from the indices themselves:
     ``clip(floor(min_valid_idx / bins), 0, n_chunks - w_chunks)``. Covers
     every valid index when the window contract holds (module docstring);
     all-invalid tiles get base 0 (their tile contributes nothing)."""
-    b, nq_pad, k = idx_m.shape
+    b, k, nq_pad = idx_mt.shape
     n_tiles = nq_pad // tile_q
-    im = idx_m.reshape(b, n_tiles, tile_q * k)
-    mn = jnp.min(jnp.where(im >= 0, im, _BIG_I), axis=2)    # (B, n_tiles)
+    im = idx_mt.reshape(b, k, n_tiles, tile_q)
+    mn = jnp.min(
+        jnp.where(im >= 0, im, _BIG_I), axis=(1, 3)
+    )                                                       # (B, n_tiles)
     mn = jnp.where(mn == _BIG_I, 0, mn)
     return jnp.clip(mn // bins, 0, n_chunks - w_chunks).astype(jnp.int32)
 
@@ -149,32 +156,30 @@ def _w_chunks(window: int, bins: int) -> int:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
-def _windowed_gather(payload, idx_m, window, tile_q, bins, interpret,
+def _windowed_gather(payload, idx_mt, window, tile_q, bins, interpret,
                      grad_precision):
-    out, _ = _gather_fwd(payload, idx_m, window, tile_q, bins, interpret,
+    out, _ = _gather_fwd(payload, idx_mt, window, tile_q, bins, interpret,
                          grad_precision)
     return out
 
 
-def _gather_fwd(payload, idx_m, window, tile_q, bins, interpret,
+def _gather_fwd(payload, idx_mt, window, tile_q, bins, interpret,
                 grad_precision):
     # Plain XLA gather (descriptor-bound but cheap relative to its VJP);
     # invalid slots (-1 clamps to row 0) are zeroed to match the VJP's
     # dropped cotangents.
-    g = jax.vmap(lambda t, i: t[:, i])(
-        payload, jnp.swapaxes(idx_m, 1, 2)
-    )                                                       # (B, P, K, Nq)
-    out = jnp.where(jnp.swapaxes(idx_m, 1, 2)[:, None] >= 0, g, 0.0)
-    return out, (idx_m, (payload.shape[1], payload.shape[2]))
+    g = jax.vmap(lambda t, i: t[:, i])(payload, idx_mt)     # (B, P, K, Nq)
+    out = jnp.where(idx_mt[:, None] >= 0, g, 0.0)
+    return out, (idx_mt, (payload.shape[1], payload.shape[2]))
 
 
 def _gather_bwd(window, tile_q, bins, interpret, grad_precision, res, dout):
-    idx_m, (p_pad, nk_pad) = res
-    b, nq_pad, k = idx_m.shape
+    idx_mt, (p_pad, nk_pad) = res
+    b, k, nq_pad = idx_mt.shape
     n_tiles = nq_pad // tile_q
     n_chunks = nk_pad // bins
     wc = min(n_chunks, _w_chunks(window, bins))
-    bases = _bases_from_idx(idx_m, tile_q, bins, wc, n_chunks)
+    bases = _bases_from_idx(idx_mt, tile_q, bins, wc, n_chunks)
 
     kernel = functools.partial(
         _scatter_kernel, k=k, bins=bins, w_chunks=wc,
@@ -186,7 +191,7 @@ def _gather_bwd(window, tile_q, bins, interpret, grad_precision, res, dout):
             num_scalar_prefetch=1,
             grid=(b, n_tiles),
             in_specs=[
-                pl.BlockSpec((1, tile_q, k), lambda b, i, bases: (b, i, 0),
+                pl.BlockSpec((1, k, tile_q), lambda b, i, bases: (b, 0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, p_pad, k, tile_q),
                              lambda b, i, bases: (b, 0, 0, i),
@@ -199,8 +204,8 @@ def _gather_bwd(window, tile_q, bins, interpret, grad_precision, res, dout):
         ),
         out_shape=jax.ShapeDtypeStruct((b, p_pad, nk_pad), jnp.float32),
         interpret=interpret,
-    )(bases, idx_m, dout.astype(jnp.float32))
-    idx_ct = np.zeros(idx_m.shape, jax.dtypes.float0)  # int arg: float0
+    )(bases, idx_mt, dout.astype(jnp.float32))
+    idx_ct = np.zeros(idx_mt.shape, jax.dtypes.float0)  # int arg: float0
     return dpayload, idx_ct
 
 
@@ -254,16 +259,21 @@ def gather_neighbors_windowed(
     b, p, n = payload_cf.shape
     nq, k = idx.shape[1], idx.shape[2]
 
-    idx_m = jnp.where(neigh_valid, idx, -1).astype(jnp.int32)
-    idx_m = _pad_axis(idx_m, 1, tile_q)
-    if idx_m.shape[1] > nq:
-        idx_m = idx_m.at[:, nq:].set(-1)    # padded query rows: no slots
+    # TRANSPOSED (B, K, Nq) masked indices: lane-major queries slice
+    # straight into (1, K, TQ) kernel blocks with no relayout copy, and
+    # the forward gather consumes the same form (see _scatter_kernel).
+    idx_mt = jnp.swapaxes(
+        jnp.where(neigh_valid, idx, -1).astype(jnp.int32), 1, 2
+    )
+    idx_mt = _pad_axis(idx_mt, 2, tile_q)
+    if idx_mt.shape[2] > nq:
+        idx_mt = idx_mt.at[:, :, nq:].set(-1)  # padded query rows: no slots
 
     p_pad = -(-p // 8) * 8
     payload_p = _pad_axis(
         _pad_axis(payload_cf.astype(jnp.float32), 1, p_pad), 2, bins
     )
     out = _windowed_gather(
-        payload_p, idx_m, window, tile_q, bins, interpret, grad_precision
+        payload_p, idx_mt, window, tile_q, bins, interpret, grad_precision
     )
     return out[:, :p, :, :nq]               # (B, P, K, Nq)
