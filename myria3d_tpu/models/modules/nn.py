@@ -122,7 +122,15 @@ class DenseCF(nn.Module):
 
 class MaskedBatchNormCF(nn.Module):
     """MaskedBatchNorm for channels-first ``(B, C, ..., N)`` tensors; same
-    parameter/collection names as ``MaskedBatchNorm``."""
+    parameter/collection names as ``MaskedBatchNorm``.
+
+    ``raw=True`` declares the parameters/statistics and returns
+    ``(x, (scale, bias, ra_mean_value, ra_var_value))`` WITHOUT applying
+    normalization — the fused train-mode LFA kernel
+    (``ops/pallas_lfa_train.py``) computes batch moments itself and feeds
+    them back through ``update_stats=(mean, biased_var, n)`` on a second
+    call, which applies the torch-semantics running update (unbiased var)
+    exactly as the standard path does."""
 
     features: int
     momentum: float = BN_MOMENTUM
@@ -130,8 +138,9 @@ class MaskedBatchNormCF(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, valid: Optional[jnp.ndarray], train: bool
-    ) -> jnp.ndarray:
+        self, x: jnp.ndarray, valid: Optional[jnp.ndarray], train: bool,
+        raw: bool = False, update_stats=None,
+    ):
         # x: (B, C, ..., N); valid: bool (B, ..., N) or None
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
@@ -141,6 +150,21 @@ class MaskedBatchNormCF(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones(self.features, jnp.float32)
         )
+        if raw:
+            if update_stats is not None and not self.is_initializing():
+                mu_b, var_b, n_b = update_stats
+                mu_b = jax.lax.stop_gradient(mu_b)
+                var_b = jax.lax.stop_gradient(var_b)
+                unbiased = var_b * n_b / jnp.maximum(n_b - 1.0, 1.0)
+                ra_mean.value = (
+                    (1.0 - self.momentum) * ra_mean.value
+                    + self.momentum * mu_b
+                )
+                ra_var.value = (
+                    (1.0 - self.momentum) * ra_var.value
+                    + self.momentum * unbiased
+                )
+            return x, (scale, bias, ra_mean.value, ra_var.value)
         xf = x.astype(jnp.float32)
         axes = (0,) + tuple(range(2, x.ndim))
         if train:
@@ -188,8 +212,24 @@ class SharedMLPCF(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, valid: Optional[jnp.ndarray], train: bool
-    ) -> jnp.ndarray:
+        self, x: jnp.ndarray, valid: Optional[jnp.ndarray], train: bool,
+        raw_probe: bool = False, update_stats=None,
+    ):
+        # raw_probe (single-layer MLPs): run the Dense on a probe input,
+        # declare BN params/stats WITHOUT normalizing, and return
+        # (dense_out, (scale, bias, ra_mean, ra_var)) — the fused
+        # train-mode LFA extracts the unfolded pieces this way and feeds
+        # batch moments back via update_stats (see MaskedBatchNormCF).
+        if raw_probe:
+            assert len(self.channels) == 1 and self.norm
+            x = DenseCF(
+                self.channels[0], use_bias=self.use_bias, dtype=self.dtype,
+                name="Dense_0",
+            )(x)
+            return MaskedBatchNormCF(
+                self.channels[0], momentum=self.bn_momentum,
+                name="MaskedBatchNorm_0",
+            )(x, valid, train, raw=True, update_stats=update_stats)
         for i, width in enumerate(self.channels):
             x = DenseCF(
                 width, use_bias=self.use_bias, dtype=self.dtype,

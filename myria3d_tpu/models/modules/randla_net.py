@@ -64,7 +64,57 @@ class LocalFeatureAggregation(nn.Module):
         neigh_valid: Optional[jnp.ndarray] = None,  # fused/windowed: (B, N, K)
         fused_window: int = 0,
         gather_window: int = 0,    # windowed MXU gather for x_j (train path)
+        fused_train_window: int = 0,  # fused TRAIN-mode LFA (batch-moment BN)
     ) -> jnp.ndarray:
+        if fused_train_window and pos is not None and train:
+            # Fused train-mode LFA (ops/pallas_lfa_train.py): batch-moment
+            # BN from the 11x11 rel statistics, forward through the eval
+            # kernel with batch-folded affines, hand-written VJP — the
+            # (B, C, K, N) edge tensors and BOTH XLA gathers (and their
+            # scatter VJPs) never exist. The PARAMETER TREE stays
+            # identical: the same-named submodules are instantiated and
+            # probed for their raw (unfolded) pieces; the BN running
+            # stats are updated through the module with the kernel's
+            # exact masked moments (torch unbiased-var semantics).
+            from myria3d_tpu.ops import pallas_lfa_train
+
+            f32 = jnp.float32
+            c = self.channels
+            c_in = c // 2
+            probe_in = jnp.concatenate(
+                [jnp.eye(10, dtype=f32), jnp.zeros((10, 1), f32)], axis=1
+            )[None, :, None, :]                         # (1, 10, 1, 11)
+            enc = SharedMLPCF(
+                [c_in], bn_momentum=self.bn_momentum, dtype=f32,
+                act=False, name="mlp_encoder",
+            )
+            dense_probe, (bn_scale, bn_bias, _, _) = enc(
+                probe_in, None, train, raw_probe=True
+            )
+            w_aff = dense_probe[0, :, 0, :]             # (c_in, 11)
+            # bias rides every probe column — subtract the zero-input col
+            w_e = (w_aff[:, :10] - w_aff[:, 10:11]).T   # (10, c_in)
+            b_e = w_aff[:, 10]
+            att_probe_in = jnp.eye(c, dtype=f32)[None, :, None, :]
+            att_probe = SharedMLPCF(
+                [c], act=False, norm=False, use_bias=False, dtype=f32,
+                name="mlp_attention",
+            )(att_probe_in, None, False)
+            att_t = att_probe[0, :, 0, :]               # (C, C) = kernel^T
+            pooled, mu, var, n = pallas_lfa_train.lfa_train_pallas(
+                x.astype(f32), pos, mask, idx, neigh_valid,
+                w_e, b_e, bn_scale, bn_bias, att_t,
+                window=fused_train_window,
+                interpret=pallas_lfa_train.FORCE_INTERPRET,
+            )
+            # feed the kernel's exact masked batch moments back into the
+            # running statistics (second call on the SAME submodule)
+            enc(probe_in, None, train, raw_probe=True,
+                update_stats=(mu, var, n))
+            return SharedMLP(
+                [c], bn_momentum=self.bn_momentum,
+                dtype=self.dtype, name="mlp_post_attention",
+            )(pooled.astype(self.dtype), mask, train)
         if fused_window and pos is not None:
             # Fused windowed Pallas LFA (ops/pallas_lfa.py): the XLA
             # neighbor gathers + (B, C, K, N) HBM edge tensors never
@@ -200,6 +250,44 @@ class DilatedResidualBlock(nn.Module):
             x, mask, train
         )
         from myria3d_tpu.ops.pallas_lfa import lfa_fused_available
+
+        if window > 0 and train and x.dtype == jnp.float32:
+            # Fused TRAIN-mode LFA (batch-moment BN + hand-written VJP):
+            # requires the windowed Pallas kNN graph (in-window contract)
+            # and the VMEM gate for both LFAs' widths.
+            from myria3d_tpu.ops.pallas_knn import knn_pallas_available
+            from myria3d_tpu.ops.pallas_lfa_train import lfa_train_available
+
+            n_stage = pos.shape[1]
+            if (
+                not self.exact_knn
+                and knn_pallas_available(
+                    min(self.num_neighbors, n_stage), n_stage
+                )
+                and lfa_train_available(
+                    n_stage, self.num_neighbors, window,
+                    c_in=self.d_out // 8,
+                )
+                and lfa_train_available(
+                    n_stage, self.num_neighbors, window,
+                    c_in=self.d_out // 4,
+                )
+            ):
+                x = LocalFeatureAggregation(
+                    self.d_out // 4, bn_momentum=self.bn_momentum,
+                    dtype=self.dtype, name="lfa1",
+                )(x, None, None, None, mask, train, pos=pos, idx=idx,
+                  neigh_valid=neigh_valid, fused_train_window=window)
+                x = LocalFeatureAggregation(
+                    self.d_out // 2, bn_momentum=self.bn_momentum,
+                    dtype=self.dtype, name="lfa2",
+                )(x, None, None, None, mask, train, pos=pos, idx=idx,
+                  neigh_valid=neigh_valid, fused_train_window=window)
+                x = SharedMLP(
+                    [self.d_out], act=False, bn_momentum=self.bn_momentum,
+                    dtype=self.dtype, name="mlp2",
+                )(x, mask, train)
+                return lrelu(x + shortcut_of_x)
 
         if (
             window > 0 and not train

@@ -140,6 +140,24 @@ def main():
         print(f"| {name[:90]} | {us / 1e3 / args.iters:.2f} | "
               f"{nrun[name] / args.iters:.0f} | {100 * us / total:.1f} |")
 
+    # category rollup: async start/done pairs double-count (each event
+    # carries the full duration) — halve categories ending in -start;
+    # they are also overlap-inflated, so treat as upper bounds.
+    import re as _re
+
+    cats = collections.Counter()
+    for name, us in acc.items():
+        m = _re.match(r"%?([a-zA-Z\-_]+?)[.\d]*\s*=", name)
+        cat = m.group(1) if m else name.split(".")[0].lstrip("%")
+        if "pallas" in name or "custom-call" in name:
+            cat = _re.sub(r"\.\d+$", "", name.split(" = ")[0].lstrip("%"))
+            cat = _re.sub(r"\.\d+", "", cat)
+        cats[cat] += us / 2 if ("start" in cat or "done" in cat) else us
+    print("\n| category | ms/step (async halved) |")
+    print("|---|---|")
+    for cat, us in cats.most_common(20):
+        print(f"| {cat} | {us / 1e3 / args.iters:.1f} |")
+
 
 if __name__ == "__main__":
     main()
