@@ -80,7 +80,6 @@ def main() -> None:
     mask = np.zeros((B, N), bool)
     full_pos = np.zeros((B, M, 3), np.float32)
     full_mask = np.zeros((B, M), bool)
-    f2s = np.full((B, M), -1, np.int32)
 
     gs = GridSampling(0.25)
     for b in range(B):
@@ -101,14 +100,6 @@ def main() -> None:
         mask[b, :ns] = True
         full_pos[b, :TRUE_FULL] = raw[order_f]
         full_mask[b, :TRUE_FULL] = True
-        inv_s = np.full(ns, -1, np.int32)
-        inv_s[order_s] = np.arange(ns, dtype=np.int32)
-        mapped = sample["copies"]["full_to_sampled"][order_f]
-        mapped = np.where(mapped < ns, inv_s[np.clip(mapped, 0, ns - 1)], -1)
-        mapped = np.where(
-            sample["copies"]["full_to_sampled"][order_f] >= 0, mapped, -1
-        )
-        f2s[b, :TRUE_FULL] = mapped
 
     model = (
         _pointnet2_model() if args_cli.model == "pointnet2"

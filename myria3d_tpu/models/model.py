@@ -360,45 +360,6 @@ class Model:
 
         return step
 
-    def build_graph_interp_step(self) -> Callable:
-        """Full-cloud regime via graph-reuse interpolation: the forward's
-        own stage-1 kNN graph supplies the candidate neighbors of every raw
-        point (``ops/graph_interp.py``) — no 32k x 12k search.
-
-        (state, x, pos, mask, sampled_pos, full_pos, full_mask,
-         full_to_sampled, rng) -> (B, M, C) full-cloud logits
-        """
-        from myria3d_tpu.ops.graph_interp import graph_interpolate
-
-        def step(state: TrainState, x, pos, mask, sampled_pos, full_pos,
-                 full_mask, full_to_sampled, rng):
-            logits, aux = self.net.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                x, pos, mask, train=False, rngs={"decimation": rng},
-                mutable=["intermediates"],
-            )
-            idx, neigh_valid = aux["intermediates"]["block1"]["knn_graph"][0]
-            full = graph_interpolate(
-                logits, sampled_pos, mask, idx, neigh_valid,
-                full_pos, full_to_sampled, full_mask,
-            )
-            return full.astype(jnp.float16)  # same wire format as interp_step
-
-        return step
-
-    @property
-    def graph_interp_step(self) -> Callable:
-        if "graph_interp_step" not in self._jitted:
-            self._jitted["graph_interp_step"] = jax.jit(
-                self.build_graph_interp_step()
-            )
-        return self._jitted["graph_interp_step"]
-
-    def supports_graph_interpolation(self) -> bool:
-        """Only nets that sow a stage-1 'knn_graph' intermediate qualify."""
-        return self.neural_net_class_name.startswith("RandLANet") or (
-            "RandLANet" in type(self.net).__name__
-        )
 
     def build_interp_step(self, fused: bool = True) -> Callable:
         """``fused=False`` keeps the f32 two-op interpolation (exact pyg

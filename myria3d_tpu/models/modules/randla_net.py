@@ -115,10 +115,14 @@ class LocalFeatureAggregation(nn.Module):
                 [c], bn_momentum=self.bn_momentum,
                 dtype=self.dtype, name="mlp_post_attention",
             )(pooled.astype(self.dtype), mask, train)
-        if fused_window and pos is not None:
+        if fused_window and pos is not None and not train:
             # Fused windowed Pallas LFA (ops/pallas_lfa.py): the XLA
             # neighbor gathers + (B, C, K, N) HBM edge tensors never
-            # exist. Eval-only — BN running stats fold to constants. The
+            # exist. Eval-only (the ``not train`` gate is load-bearing:
+            # this branch folds BN RUNNING stats into the forward and
+            # skips batch-moment BN + stat updates — train callers must
+            # fall through to fused_train_window / standard) — BN running
+            # stats fold to constants. The
             # PARAMETER TREE stays identical to the standard branch: the
             # same-named submodules are instantiated and probed with tiny
             # identity inputs to extract their (eval-mode affine)
@@ -238,9 +242,6 @@ class DilatedResidualBlock(nn.Module):
             pos, mask, self.num_neighbors, exact=self.exact_knn,
             window=window,
         )
-        # expose the graph (apply with mutable=["intermediates"]) — reused
-        # by graph-interpolation at predict time (ops/graph_interp.py)
-        self.sow("intermediates", "knn_graph", (idx, neigh_valid))
         shortcut_of_x = SharedMLP(
             [self.d_out], act=False, bn_momentum=self.bn_momentum,
             dtype=self.dtype, name="shortcut",
@@ -426,9 +427,9 @@ class RandLANet(nn.Module):
     # Sort inside the forward (device argsort by x, logits unsorted back):
     # for TRAINING, where host-side sorting would have to chase the random
     # flip/rotation augmentations. The predict pipeline sorts on the host
-    # instead (SortPointsByX) and keeps this off — the in-model permutation
-    # would desync the sow'd knn_graph intermediates from full_to_sampled
-    # (graph-reuse interpolation). Requires knn_window > 0 to matter.
+    # instead (SortPointsByX) and keeps this off — a checkpoint hparam of
+    # sort_inputs=true would pay a redundant in-model argsort (identity
+    # permutation) per batch. Requires knn_window > 0 to matter.
     sort_inputs: bool = False
 
     @nn.compact

@@ -64,12 +64,29 @@ from myria3d_tpu.ops.pallas_knn import (
     BINS,
     TILE_Q,
     _pad_axis,
-    _window_bases,
     _window_chunks,
 )
 
 _NEG = -3e38
 _BIG_I = 2**30
+
+
+def _bases_from_idx_qmajor(idx_m: jnp.ndarray, tile_q: int, bins: int,
+                           w_chunks: int, n_chunks: int) -> jnp.ndarray:
+    """(B, n_tiles) window base chunks from (B, Nq_pad, K) masked indices
+    (same contract as ``pallas_gather._bases_from_idx``): containment of
+    every valid index is STRUCTURAL — ``base = clip(min_valid_idx/bins)``
+    plus the +1 alignment chunk in ``w_chunks`` covers the window-contract
+    span, independent of any coordinate recomputation. (A searchsorted
+    over the positions could shift a boundary tile's base by one chunk
+    relative to the kNN's when centering offsets create/break FP ties,
+    silently zero-gathering that tile's edge neighbors.)"""
+    b, nq_pad, k = idx_m.shape
+    n_tiles = nq_pad // tile_q
+    im = idx_m.reshape(b, n_tiles, tile_q * k)
+    mn = jnp.min(jnp.where(im >= 0, im, _BIG_I), axis=2)
+    mn = jnp.where(mn == _BIG_I, 0, mn)
+    return jnp.clip(mn // bins, 0, n_chunks - w_chunks).astype(jnp.int32)
 
 # payload row groups (8-aligned sublane offsets, see module docstring)
 _ROW_HI = 0
@@ -259,21 +276,9 @@ def lfa_attention_pallas(
     p_rows = pt.shape[1]
     nk_pad = pt.shape[2]
 
-    # window bases — identical construction to the kNN that built idx
-    from myria3d_tpu.ops.knn import _augment_keys, _augment_queries
+    from myria3d_tpu.ops.knn import _augment_queries
 
     q4p = _pad_axis(_augment_queries(pos), 1, tile_q)
-    k4p = _pad_axis(_augment_keys(pos, mask), 1, bins)
-    if k4p.shape[1] > n:
-        pad_rows = k4p.shape[1] - n
-        w_fix = jnp.concatenate(
-            [jnp.zeros((b, n, 1), pos.dtype),
-             jnp.full((b, pad_rows, 1), 1e4, pos.dtype)], axis=1,
-        )
-        k4p = k4p.at[:, :, 3:4].max(w_fix)
-    w_chunks = _window_chunks(window, nk_pad, bins)
-    bases = _window_bases(q4p, k4p, tile_q, w_chunks, bins, query_mask=mask)
-
     nq_pad = q4p.shape[1]
     n_tiles = nq_pad // tile_q
     qt = jnp.swapaxes(q4p, 1, 2)                            # (B, 4, Nq_pad)
@@ -285,6 +290,12 @@ def lfa_attention_pallas(
     if idx_in.shape[1] > n:
         # padded query rows: all slots invalid
         idx_in = idx_in.at[:, n:].set(-1)
+    # window bases FROM THE INDICES (shared with the train kernel):
+    # structural containment of every valid index — see
+    # ``_bases_from_idx_qmajor``
+    w_chunks = _window_chunks(window, nk_pad, bins)
+    n_chunks = nk_pad // bins
+    bases = _bases_from_idx_qmajor(idx_in, tile_q, bins, w_chunks, n_chunks)
 
     c_pad = max(8, -(-c_out // 8) * 8)
     ec = enc_a.shape[0]

@@ -89,16 +89,8 @@ FORCE_INTERPRET = False
 # shared geometry helpers
 # ---------------------------------------------------------------------------
 
-def _bases_from_idx_qmajor(idx_m: jnp.ndarray, tile_q: int, bins: int,
-                           w_chunks: int, n_chunks: int) -> jnp.ndarray:
-    """(B, n_tiles) window base chunks from (B, Nq_pad, K) masked indices
-    (same contract as ``pallas_gather._bases_from_idx``)."""
-    b, nq_pad, k = idx_m.shape
-    n_tiles = nq_pad // tile_q
-    im = idx_m.reshape(b, n_tiles, tile_q * k)
-    mn = jnp.min(jnp.where(im >= 0, im, _BIG_I), axis=2)
-    mn = jnp.where(mn == _BIG_I, 0, mn)
-    return jnp.clip(mn // bins, 0, n_chunks - w_chunks).astype(jnp.int32)
+# shared with the eval kernel — bases derive from the indices themselves
+from myria3d_tpu.ops.pallas_lfa import _bases_from_idx_qmajor  # noqa: E402
 
 
 def _build_payload(x, pos, bins):

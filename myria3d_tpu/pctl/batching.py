@@ -178,12 +178,6 @@ def pad_full_cloud(
     full_mask = np.zeros((B, m_pad), dtype=bool)
     have_y = any("transformed_y_copy" in c for c in copies)
     full_y = np.full((B, m_pad), IGNORE_INDEX, dtype=np.int32) if have_y else None
-    have_f2s = all(
-        "full_to_sampled" in c for c in copies if "pos_copy" in c
-    ) and any("full_to_sampled" in c for c in copies)
-    full_to_sampled = (
-        np.full((B, m_pad), -1, dtype=np.int32) if have_f2s else None
-    )
     sampled_lengths = [
         c["pos_sampled_copy"].shape[0] if "pos_sampled_copy" in c else 0 for c in copies
     ]
@@ -195,8 +189,6 @@ def pad_full_cloud(
         full_mask[i, :n] = True
         if full_y is not None and "transformed_y_copy" in c:
             full_y[i, :n] = c["transformed_y_copy"][:n]
-        if full_to_sampled is not None and "full_to_sampled" in c:
-            full_to_sampled[i, :n] = c["full_to_sampled"][:n]
     out: Dict[str, Any] = {
         "full_pos": full_pos,
         "full_mask": full_mask,
@@ -205,8 +197,6 @@ def pad_full_cloud(
     }
     if full_y is not None:
         out["full_y"] = full_y
-    if full_to_sampled is not None:
-        out["full_to_sampled"] = full_to_sampled
     return out
 
 

@@ -47,6 +47,7 @@ class HDF5LidarDataModule:
         transforms: Optional[Dict[str, TRANSFORMS_LIST]] = None,
         padded_num_points: Optional[int] = None,
         bucketing: bool = True,
+        num_features: Optional[int] = None,
         **kwargs,
     ):
         self.split_csv_path = split_csv_path
@@ -67,6 +68,11 @@ class HDF5LidarDataModule:
         self.batch_size = batch_size
         self.num_workers = num_workers
         self.prefetch_factor = prefetch_factor
+        # known feature width (model d_in): lets the process-sharded loader
+        # synthesize filler batches even when a rank's FIRST group is
+        # entirely None-filtered (multi-host robustness). The train
+        # pipeline sets this from the model hparams when absent.
+        self.num_features = num_features
 
         # phase → ordered transform stages, composed lazily below
         t = transforms or {}
@@ -197,6 +203,7 @@ class HDF5LidarDataModule:
             prefetch_factor=self.prefetch_factor,
             buckets=self.buckets,
             seed=seed,
+            num_features=self.num_features,
         )
 
     def train_dataloader(self, seed: Optional[int] = None) -> PaddedBatchLoader:

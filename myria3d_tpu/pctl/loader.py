@@ -189,6 +189,17 @@ class PaddedBatchLoader:
         if count > 1 and self._map_style:
             yield from self._iter_process_sharded(rank, count)
             return
+        if count > 1:
+            # an iterable-only dataset cannot be index-sharded: every rank
+            # would silently iterate ALL samples (duplicated work + wrong
+            # global batch semantics) while __len__ reports the per-rank
+            # share. Fail loudly instead.
+            raise RuntimeError(
+                "Process sharding requires a map-style dataset "
+                "(__getitem__ + __len__); got an iterable-only dataset "
+                f"with process_count={count}. Pass shard_by_process=False "
+                "and shard inside the dataset instead."
+            )
         batch: List[Optional[dict]] = []
         for sample in self._sample_iter():
             if sample is None:
@@ -208,7 +219,8 @@ class PaddedBatchLoader:
         if hasattr(self.dataset, "__len__"):
             n = len(self.dataset)
             _, count = self._resolve_process()
-            if count > 1:
+            # mirror __iter__: only map-style datasets are process-sharded
+            if count > 1 and self._map_style:
                 n = -(-n // count)  # per-rank share (wrap-padded)
             if self.drop_last:
                 return n // self.batch_size

@@ -32,23 +32,6 @@ def subsample_data(data: dict, num_nodes: int, choice: np.ndarray) -> dict:
             continue
         if isinstance(item, np.ndarray) and item.shape and item.shape[0] == num_nodes:
             data[key] = item[choice]
-    # keep the raw-point -> sampled-point map (graph-reuse interpolation)
-    # consistent: old sampled index -> new index, -1 when dropped
-    copies = data.get("copies")
-    if copies is not None and "full_to_sampled" in copies:
-        if np.asarray(choice).dtype == bool:
-            choice_idx = np.flatnonzero(choice)
-        else:
-            choice_idx = np.asarray(choice)
-        remap = np.full(num_nodes, -1, np.int32)
-        # first occurrence wins when choice duplicates (MinimumNumNodes)
-        new_ids = np.arange(len(choice_idx), dtype=np.int32)
-        remap[choice_idx[::-1]] = new_ids[::-1]
-        f2s = copies["full_to_sampled"]
-        valid = f2s >= 0
-        out = np.full_like(f2s, -1)
-        out[valid] = remap[f2s[valid]]
-        copies["full_to_sampled"] = out
     return data
 
 
@@ -173,9 +156,7 @@ class SortPointsByX(Transform):
     - the sampled arrays (``pos``/``x``/``y`` + ``pos_sampled_copy``) by
       the current ``pos`` x;
     - the full-cloud stash (``pos_copy``/``transformed_y_copy``/
-      ``idx_in_original_cloud`` and the rows of ``full_to_sampled``) by
-      ``pos_copy`` x, with ``full_to_sampled`` *values* remapped through
-      the sampled permutation.
+      ``idx_in_original_cloud``) by ``pos_copy`` x.
 
     Place LAST in the preparations list (after the Copy*Pos stashes);
     Center/NormalizePos after it are shared positive-affine maps, so the
@@ -186,8 +167,6 @@ class SortPointsByX(Transform):
     def __call__(self, data: dict) -> dict:
         n = num_nodes_of(data)
         perm_s = np.argsort(data["pos"][:, 0], kind="stable")
-        inv_s = np.empty_like(perm_s)
-        inv_s[perm_s] = np.arange(n, dtype=perm_s.dtype)
         for key, item in list(data.items()):
             if key in _SKIP_KEYS:
                 continue
@@ -214,13 +193,6 @@ class SortPointsByX(Transform):
             idx = data.get("idx_in_original_cloud")
             if isinstance(idx, np.ndarray) and idx.shape[0] == m:
                 data["idx_in_original_cloud"] = idx[perm_f]
-            f2s = copies.get("full_to_sampled")
-            if isinstance(f2s, np.ndarray) and f2s.shape[0] == m:
-                f2s = f2s[perm_f]
-                valid = f2s >= 0
-                out = np.full_like(f2s, -1)
-                out[valid] = inv_s[f2s[valid]]
-                copies["full_to_sampled"] = out
         return data
 
 
@@ -332,23 +304,9 @@ class GridSampling(Transform):
                 continue
             if isinstance(item, np.ndarray) and item.shape and item.shape[0] == n:
                 out[key] = voxel_mean(item.astype(np.float64)).astype(item.dtype)
-        self._stash_full_to_sampled(out, inverse, n)
         data.clear()
         data.update(out)
         return data
-
-    @staticmethod
-    def _stash_full_to_sampled(out: dict, inverse: np.ndarray, n: int) -> None:
-        """Raw-point -> voxel(=sampled point) map for graph-reuse
-        interpolation; only meaningful when CopyFullPos ran right before
-        sampling (pos_copy aligned with this cloud)."""
-        copies = out.get("copies")
-        if (
-            copies is not None
-            and isinstance(copies.get("pos_copy"), np.ndarray)
-            and copies["pos_copy"].shape[0] == n
-        ):
-            copies["full_to_sampled"] = inverse.astype(np.int32)
 
     def _try_native(self, data: dict) -> Optional[dict]:
         """C++ fast path (``pctl/native``) — same voxel order/semantics as
@@ -393,7 +351,6 @@ class GridSampling(Transform):
                 out[key] = (
                     sums / counts.reshape((-1,) + (1,) * (item.ndim - 1))
                 ).astype(item.dtype)
-        self._stash_full_to_sampled(out, inverse, n)
         data.clear()
         data.update(out)
         return data

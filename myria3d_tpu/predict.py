@@ -109,12 +109,6 @@ def predict(config, phases: Optional[dict] = None, preread=None) -> Optional[str
     itp = instantiate(config["predict"]["interpolator"])
     itp.prepare(len(tile_points), points=tile_points, header=tile_header)
 
-    # default False matches configs/predict/default.yaml: the graph-reuse
-    # path is approximate and opt-in
-    use_graph = bool(
-        config["predict"].get("use_graph_interpolation", False)
-    ) and model.supports_graph_interpolation() and par is None
-
     from collections import deque
 
     from myria3d_tpu.pctl.loader import BackgroundIterator
@@ -161,20 +155,11 @@ def predict(config, phases: Optional[dict] = None, preread=None) -> Optional[str
         )
         if par is not None:
             arrays = par.place_batch(arrays)
-        if use_graph and "full_to_sampled" in full:
-            # graph-reuse interpolation: the forward's stage-1 kNN graph
-            # supplies every raw point's candidate neighbors (no search)
-            full_logits = model.graph_interp_step(
-                state, arrays["x"], arrays["pos"], arrays["mask"],
-                arrays["sampled_pos"], arrays["full_pos"],
-                arrays["full_mask"], full["full_to_sampled"], rng,
-            )
-        else:
-            full_logits = interp_fn(
-                state, arrays["x"], arrays["pos"], arrays["mask"],
-                arrays["sampled_pos"], arrays["full_pos"],
-                arrays["full_mask"], rng,
-            )
+        full_logits = interp_fn(
+            state, arrays["x"], arrays["pos"], arrays["mask"],
+            arrays["sampled_pos"], arrays["full_pos"],
+            arrays["full_mask"], rng,
+        )
         pending.append((full_logits, batch.idx_in_original_cloud))
         n_batches += 1
         if len(pending) > 1:

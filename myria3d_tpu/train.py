@@ -662,6 +662,12 @@ def train(config) -> Trainer:
     from myria3d_tpu.utils.config import _to_plain  # noqa: SLF001
 
     model.raw_hparams = _to_plain({k: v for k, v in model_cfg.items()})
+    # the loader needs the feature width to synthesize filler batches when
+    # a rank's first collated group is all-None (multi-host robustness)
+    if getattr(datamodule, "num_features", None) is None:
+        nf = (model.neural_net_hparams or {}).get("num_features")
+        if nf is not None and hasattr(datamodule, "num_features"):
+            datamodule.num_features = int(nf)
 
     callbacks: Dict[str, Any] = {}
     for name, cb_conf in (config.get("callbacks") or {}).items():

@@ -15,7 +15,6 @@ from myria3d_tpu.pctl.transforms.transforms import SortPointsByX
 def _sample(n=64, m=200, seed=0):
     rng = np.random.default_rng(seed)
     pos_full = rng.uniform(0, 50, (m, 3)).astype(np.float32)
-    f2s = rng.integers(-1, n, m).astype(np.int32)
     data = {
         "pos": rng.uniform(0, 50, (n, 3)).astype(np.float32),
         "x": rng.uniform(0, 1, (n, 5)).astype(np.float32),
@@ -25,7 +24,6 @@ def _sample(n=64, m=200, seed=0):
             "pos_copy": pos_full,
             "transformed_y_copy": rng.integers(0, 7, m).astype(np.int32),
             "pos_sampled_copy": rng.uniform(0, 50, (n, 3)).astype(np.float32),
-            "full_to_sampled": f2s,
         },
     }
     return data
@@ -39,7 +37,6 @@ def test_sort_transform_consistent_permutation():
         "pos_copy": data["copies"]["pos_copy"].copy(),
         "ty": data["copies"]["transformed_y_copy"].copy(),
         "psc": data["copies"]["pos_sampled_copy"].copy(),
-        "f2s": data["copies"]["full_to_sampled"].copy(),
         "idx": data["idx_in_original_cloud"].copy(),
     }
     out = SortPointsByX()(data)
@@ -65,20 +62,6 @@ def test_sort_transform_consistent_permutation():
     np.testing.assert_array_equal(
         out["idx_in_original_cloud"], orig["idx"][perm_f]
     )
-
-    # full_to_sampled: rows follow perm_f, values remapped through perm_s —
-    # the (full point -> sampled point) geometric relation is invariant
-    f2s = out["copies"]["full_to_sampled"]
-    for row in range(len(perm_f)):
-        old_row = perm_f[row]
-        old_val = orig["f2s"][old_row]
-        if old_val < 0:
-            assert f2s[row] == -1
-        else:
-            np.testing.assert_array_equal(
-                out["copies"]["pos_sampled_copy"][f2s[row]],
-                orig["psc"][old_val],
-            )
 
 
 def test_sort_transform_without_copies():
