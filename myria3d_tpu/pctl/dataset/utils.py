@@ -176,11 +176,15 @@ def split_cloud_into_samples(
     binned = native_bin_windows(xy_rel, centers_1d, float(radius), float(stride))
     if binned is not None:
         offsets, indices = binned
+        # ONE window-grouped gather of the whole tile, then zero-copy
+        # slices per window: 49+ small structured gathers of the same rows
+        # cost ~1.5x one big ascending-index pass (measured 1-core,
+        # docs/perf_notes.md round 5), and each slice is a view.
+        grouped = points[indices]
         for w in range(n_k * n_k):
             s, e = offsets[w], offsets[w + 1]
             if e > s:
-                sample_idx = indices[s:e]
-                yield sample_idx, points[sample_idx]
+                yield indices[s:e], grouped[s:e]
         return
 
     # chunk the combo expansion so peak memory stays ~O(block * C^2)

@@ -45,30 +45,75 @@ int64_t grid_sample(const float* pos, const float* x, const int32_t* y,
   if (n <= 0 || size <= 0.f) return -1;
 
   float mins[3] = {pos[0], pos[1], pos[2]};
+  float maxs[3] = {pos[0], pos[1], pos[2]};
   for (int64_t i = 1; i < n; ++i) {
-    for (int d = 0; d < 3; ++d) mins[d] = std::min(mins[d], pos[i * 3 + d]);
+    for (int d = 0; d < 3; ++d) {
+      const float v = pos[i * 3 + d];
+      mins[d] = std::min(mins[d], v);
+      maxs[d] = std::max(maxs[d], v);
+    }
   }
 
-  // 21 bits per axis: coords up to 2^21 cells (a 50 m subtile at 0.25 m is
-  // 200 cells; a full 1 km tile at 0.05 m is 20k — ample headroom).
+  // Compact keys: cell counts come from the actual extent (a 50 m subtile
+  // at 0.25 m is 201x201x~40 cells -> ~21 key bits), so the LSD radix
+  // below runs the fewest 8-bit passes. Same x-major>y>z voxel order as
+  // the 21-bit-per-axis packing this replaces (and the numpy fallback's
+  // sorted-unique-key order) — ascending compact key == ascending packed
+  // key because both are lexicographic in (cx, cy, cz).
+  uint64_t dims[3];
+  for (int d = 0; d < 3; ++d) {
+    float v = std::floor((maxs[d] - mins[d]) / size);
+    dims[d] = static_cast<uint64_t>(v < 0 ? 0 : v) + 1;
+    dims[d] = std::min(dims[d], static_cast<uint64_t>(1) << 21);
+  }
   std::vector<uint64_t> key(n);
+  uint64_t key_max = 0;
   for (int64_t i = 0; i < n; ++i) {
     uint64_t c[3];
     for (int d = 0; d < 3; ++d) {
       float v = std::floor((pos[i * 3 + d] - mins[d]) / size);
-      c[d] = static_cast<uint64_t>(v < 0 ? 0 : v) & ((1ull << 21) - 1);
+      c[d] = std::min(static_cast<uint64_t>(v < 0 ? 0 : v), dims[d] - 1);
     }
-    key[i] = (c[0] << 42) | (c[1] << 21) | c[2];
+    const uint64_t k = (c[0] * dims[1] + c[1]) * dims[2] + c[2];
+    key[i] = k;
+    key_max = std::max(key_max, k);
   }
 
-  std::vector<int64_t> order(n);
+  // stable LSD radix sort of (key, index) pairs, 8-bit digits, ping-pong
+  // buffers: O(n) per pass vs the comparison sort's O(n log n) pointer-
+  // chasing (measured 3-4x on the 30k-point production subtile). Stability
+  // preserves ascending original index within a voxel — the accumulation
+  // order of the numpy fallback (np.add.at in index order), so means stay
+  // bit-compatible.
+  int passes = 0;
+  while ((key_max >> (8 * passes)) != 0 && passes < 8) ++passes;
+  if (passes == 0) passes = 1;
+  std::vector<int64_t> order(n), order2(n);
   std::iota(order.begin(), order.end(), 0);
-  std::stable_sort(order.begin(), order.end(),
-            [&](int64_t a, int64_t b) { return key[a] < key[b]; });
+  for (int p = 0; p < passes; ++p) {
+    const int shift = 8 * p;
+    int64_t hist[256] = {0};
+    for (int64_t i = 0; i < n; ++i)
+      ++hist[(key[order[i]] >> shift) & 0xff];
+    int64_t off = 0;
+    int64_t start[256];
+    for (int b = 0; b < 256; ++b) { start[b] = off; off += hist[b]; }
+    for (int64_t i = 0; i < n; ++i) {
+      const int64_t idx = order[i];
+      order2[start[(key[idx] >> shift) & 0xff]++] = idx;
+    }
+    order.swap(order2);
+  }
 
   std::vector<double> pos_acc(3);
   std::vector<double> x_acc(fdim > 0 ? fdim : 1);
+  // majority vote tracked incrementally (ties -> smallest class code, as
+  // the one-hot argmax of the numpy fallback): only the classes actually
+  // seen in a run are counted and reset — the 256-slot scan/memset per
+  // voxel dominated when runs are short (real data: ~3 points/voxel).
   int y_count[256];
+  std::memset(y_count, 0, sizeof(y_count));
+  int touched[64];
 
   int64_t n_vox = 0;
   int64_t run_start = 0;
@@ -77,14 +122,20 @@ int64_t grid_sample(const float* pos, const float* x, const int32_t* y,
     const uint64_t k = key[order[run_start]];
     std::fill(pos_acc.begin(), pos_acc.end(), 0.0);
     std::fill(x_acc.begin(), x_acc.end(), 0.0);
-    if (has_y) std::memset(y_count, 0, sizeof(y_count));
+    int n_touched = 0, best = 256, best_cnt = 0;
     while (run_end < n && key[order[run_end]] == k) {
       const int64_t i = order[run_end];
       for (int d = 0; d < 3; ++d) pos_acc[d] += pos[i * 3 + d];
       for (int64_t f = 0; f < fdim; ++f) x_acc[f] += x[i * fdim + f];
       if (has_y) {
-        int32_t cls = y[i];
-        if (cls >= 0 && cls < 256) ++y_count[cls];
+        const int32_t cls = y[i];
+        if (cls >= 0 && cls < 256) {
+          if (y_count[cls] == 0 && n_touched < 64) touched[n_touched++] = cls;
+          const int c2 = ++y_count[cls];
+          if (c2 > best_cnt || (c2 == best_cnt && cls < best)) {
+            best = cls; best_cnt = c2;
+          }
+        }
       }
       inverse[i] = static_cast<int32_t>(n_vox);
       ++run_end;
@@ -95,11 +146,17 @@ int64_t grid_sample(const float* pos, const float* x, const int32_t* y,
     for (int64_t f = 0; f < fdim; ++f)
       out_x[n_vox * fdim + f] = static_cast<float>(x_acc[f] / cnt);
     if (has_y) {
-      int best = 0, best_cnt = -1;
-      for (int cls = 0; cls < 256; ++cls) {
-        if (y_count[cls] > best_cnt) { best = cls; best_cnt = y_count[cls]; }
+      if (n_touched >= 64) {
+        // overflowed the touched list (pathological >64 distinct classes
+        // in one voxel): recompute by scan, then full reset
+        best = 0; best_cnt = -1;
+        for (int cls = 0; cls < 256; ++cls)
+          if (y_count[cls] > best_cnt) { best = cls; best_cnt = y_count[cls]; }
+        std::memset(y_count, 0, sizeof(y_count));
+      } else {
+        for (int t = 0; t < n_touched; ++t) y_count[touched[t]] = 0;
       }
-      out_y[n_vox] = best;
+      out_y[n_vox] = best == 256 ? 0 : best;
     }
     ++n_vox;
     run_start = run_end;

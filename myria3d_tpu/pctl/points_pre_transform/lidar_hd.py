@@ -14,6 +14,24 @@ COLORS_NORMALIZATION_MAX_VALUE = 255.0 * 256.0
 RETURN_NUMBER_NORMALIZATION_MAX_VALUE = 7.0
 
 
+def _columns_f32(points: np.ndarray):
+    """(n, F) contiguous f32 matrix + name→column map when the record dtype
+    is all-f32 packed (the ``read_las_array_as_float32`` contract), else
+    None. One transposing copy replaces ~12 strided field extractions from
+    the AoS records — the extraction pattern that dominated the per-subtile
+    cook on 1-core hosts (docs/perf_notes.md round 5)."""
+    dt = points.dtype
+    names = dt.names or ()
+    if not names or any(dt.fields[nm][0] != np.float32 for nm in names):
+        return None, None
+    if dt.itemsize != 4 * len(names):
+        return None, None
+    mat = np.ascontiguousarray(
+        points.view(np.float32).reshape(points.shape[0], len(names)).T
+    )
+    return mat, {nm: i for i, nm in enumerate(names)}
+
+
 def lidar_hd_pre_transform(points: np.ndarray) -> dict:
     """Turn a LAS named array (float32 fields) into a sample dict.
 
@@ -23,6 +41,9 @@ def lidar_hd_pre_transform(points: np.ndarray) -> dict:
     Intensity, ReturnNumber, NumberOfReturns, Red, Green, Blue, Infrared,
     rgb_avg, ndvi → d_in = 9.
     """
+    mat, col = _columns_f32(points)
+    if mat is not None:
+        return _pre_transform_columns(mat, col)
     pos = np.stack(
         [points["X"], points["Y"], points["Z"]], axis=1
     ).astype(np.float32)
@@ -70,4 +91,61 @@ def lidar_hd_pre_transform(points: np.ndarray) -> dict:
         "x": x,
         "y": y,
         "x_features_names": list(x_features_names),
+    }
+
+
+_X_NAMES = [
+    "Intensity", "ReturnNumber", "NumberOfReturns",
+    "Red", "Green", "Blue", "Infrared", "rgb_avg", "ndvi",
+]
+
+
+def _pre_transform_columns(mat: np.ndarray, col: dict) -> dict:
+    """Same math as the named-array path, on contiguous (F, n) columns:
+    every op streams a cache-resident 1-D array, and ``x`` is assembled by
+    row-writes into one preallocated (9, n) block (transposed at the end,
+    matching ``np.stack``'s layout)."""
+    n = mat.shape[1]
+    pos = np.empty((n, 3), np.float32)
+    pos[:, 0] = mat[col["X"]]
+    pos[:, 1] = mat[col["Y"]]
+    pos[:, 2] = mat[col["Z"]]
+
+    rn = mat[col["ReturnNumber"]]
+    occluded = rn > 1
+
+    xb = np.empty((9, n), np.float32)
+    xb[0] = mat[col["Intensity"]]
+    np.divide(rn, np.float32(RETURN_NUMBER_NORMALIZATION_MAX_VALUE), out=xb[1])
+    np.divide(mat[col["NumberOfReturns"]],
+              np.float32(RETURN_NUMBER_NORMALIZATION_MAX_VALUE), out=xb[2])
+    # true divisions, not reciprocal multiplies: 65280 and 7 are not powers
+    # of two, and the named-array path divides — keep the features
+    # bit-identical between the two paths (HDF5 stores them)
+    for j, color in enumerate(("Red", "Green", "Blue", "Infrared")):
+        if color in col:
+            channel = mat[col[color]]
+            assert channel.size == 0 or channel.max() <= COLORS_NORMALIZATION_MAX_VALUE, (
+                f"{color} max too high!"
+            )
+            np.divide(channel, np.float32(COLORS_NORMALIZATION_MAX_VALUE),
+                      out=xb[3 + j])
+            xb[3 + j][occluded] = 0.0
+        else:
+            xb[3 + j] = 0.0
+    # rgb_avg: (r+g)+b then /3 — the exact op sequence of
+    # np.stack([...]).mean(axis=1) on f32 (umr_sum then true_divide)
+    np.add(xb[3], xb[4], out=xb[7])
+    np.add(xb[7], xb[5], out=xb[7])
+    np.divide(xb[7], np.float32(3.0), out=xb[7])
+    np.subtract(xb[6], xb[3], out=xb[8])
+    denom = xb[6] + xb[3]
+    denom += np.float32(1e-6)
+    np.divide(xb[8], denom, out=xb[8])
+
+    return {
+        "pos": pos,
+        "x": np.ascontiguousarray(xb.T),
+        "y": mat[col["Classification"]].astype(np.int64),
+        "x_features_names": list(_X_NAMES),
     }
