@@ -160,6 +160,20 @@ class Model:
             opt_state=opt_state,
         )
 
+    def _rebuild_net(self) -> None:
+        """Re-instantiate the net from ``neural_net_hparams`` and drop the
+        jitted step caches. Parameters don't depend on the routing/dtype
+        flags these hparams carry, so existing states stay valid."""
+        self.net = get_neural_net_class(self.neural_net_class_name)(
+            **self.neural_net_hparams
+        )
+        self._jitted.clear()
+
+    def _net_fields(self) -> set:
+        import dataclasses as _dc
+
+        return {f.name for f in _dc.fields(type(self.net))}
+
     def set_exact_knn(self, enable: bool = True) -> None:
         """Route every kNN search to exact ``lax.top_k`` instead of the
         binned Pallas / ``approx_min_k`` kernels (recall ≈0.98): the
@@ -169,14 +183,10 @@ class Model:
         (``torch_cluster.knn``, ``pyg_randla_net.py:14,180``). Parameters
         don't depend on these flags, so existing states stay valid; jitted
         step caches are dropped (``predict.exact_knn``)."""
-        import dataclasses as _dc
-
         self.exact_knn = bool(enable)
-        if "exact_knn" in {f.name for f in _dc.fields(type(self.net))}:
+        if "exact_knn" in self._net_fields():
             self.neural_net_hparams["exact_knn"] = bool(enable)
-            self.net = get_neural_net_class(self.neural_net_class_name)(
-                **self.neural_net_hparams
-            )
+            self._rebuild_net()
         self._jitted.clear()
 
     def set_sorted_window(self, window: int) -> None:
@@ -188,10 +198,8 @@ class Model:
         docs/perf_notes.md round 4). REQUIRES the SortPointsByX transform
         in the cook pipeline — the predict pipeline appends it when the
         config knob is set. ``window=0`` restores the full scan."""
-        import dataclasses as _dc
-
         self.interp_window = int(window)
-        fields = {f.name for f in _dc.fields(type(self.net))}
+        fields = self._net_fields()
         if "knn_window" in fields:
             self.neural_net_hparams["knn_window"] = int(window)
             # host-side SortPointsByX owns the sorting contract at predict:
@@ -199,9 +207,7 @@ class Model:
             # redundant in-model argsort (identity permutation) per batch
             if "sort_inputs" in fields:
                 self.neural_net_hparams["sort_inputs"] = False
-            self.net = get_neural_net_class(self.neural_net_class_name)(
-                **self.neural_net_hparams
-            )
+            self._rebuild_net()
         self._jitted.clear()
 
     def set_compute_dtype(self, dtype: Any) -> None:
@@ -211,13 +217,9 @@ class Model:
         compute path changes (bf16 edge tensors halve HBM traffic; the
         fused-interp class-flip rate is measured in EXACTNESS_r04.json).
         """
-        import dataclasses as _dc
-
-        if "dtype" in {f.name for f in _dc.fields(type(self.net))}:
+        if "dtype" in self._net_fields():
             self.neural_net_hparams["dtype"] = _as_dtype(dtype)
-            self.net = get_neural_net_class(self.neural_net_class_name)(
-                **self.neural_net_hparams
-            )
+            self._rebuild_net()
         self._jitted.clear()
 
     def num_params(self, state: TrainState) -> int:

@@ -219,6 +219,15 @@ class DilatedResidualBlock(nn.Module):
     # sorted, so RandLANet passes it to all four blocks (the kernel
     # auto-disables itself when window >= the stage's key count).
     knn_window: int = 0
+    # Route training through the fused train-mode LFA Pallas kernel
+    # (ops/pallas_lfa_train.py: batch-moment BN folded in, hand-written
+    # VJP). Validated on v5e (op-check vs interpret ok, whole-model grad
+    # cosine 0.9987 vs the unfused program) but MEASURED SLOWER than the
+    # unfused windowed path it would replace — 107.1 vs 101.9 ms at
+    # B=8/N=12288 (docs/perf_notes.md round 5) — so it is opt-in, not the
+    # default. The default train path is windowed Pallas kNN + XLA LFA +
+    # MXU scatter-add gather VJPs.
+    fused_train_lfa: bool = False
 
     @nn.compact
     def __call__(
@@ -252,7 +261,10 @@ class DilatedResidualBlock(nn.Module):
         )
         from myria3d_tpu.ops.pallas_lfa import lfa_fused_available
 
-        if window > 0 and train and x.dtype == jnp.float32:
+        if (
+            self.fused_train_lfa
+            and window > 0 and train and x.dtype == jnp.float32
+        ):
             # Fused TRAIN-mode LFA (batch-moment BN + hand-written VJP):
             # requires the windowed Pallas kNN graph (in-window contract)
             # and the VMEM gate for both LFAs' widths.
@@ -431,6 +443,10 @@ class RandLANet(nn.Module):
     # sort_inputs=true would pay a redundant in-model argsort (identity
     # permutation) per batch. Requires knn_window > 0 to matter.
     sort_inputs: bool = False
+    # Opt-in fused train-mode LFA kernel for the encoder blocks — see
+    # DilatedResidualBlock.fused_train_lfa (measured slower than the
+    # default unfused windowed path on v5e; validated, kept as a knob).
+    fused_train_lfa: bool = False
 
     @nn.compact
     def __call__(
@@ -477,6 +493,7 @@ class RandLANet(nn.Module):
                 self.num_neighbors, d_out, bn_momentum=self.bn_momentum,
                 dtype=self.dtype, exact_knn=self.exact_knn,
                 knn_window=self.knn_window,
+                fused_train_lfa=self.fused_train_lfa,
                 name=f"block{i + 1}",
             )(x, pos, mask, train)
             if i == 0:
