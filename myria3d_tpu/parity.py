@@ -122,6 +122,7 @@ def run_parity(
     epsg: Optional[str] = None,
     tolerance: float = 0.2,
     batch_size: Optional[int] = None,
+    extra_overrides: Optional[Dict[str, object]] = None,
 ) -> Dict[str, object]:
     """Convert → predict (exact interpolation) → score. Returns the report."""
     from myria3d_tpu.pctl.io.las import read_las
@@ -148,6 +149,8 @@ def run_parity(
         overrides["datamodule.epsg"] = epsg
     if batch_size is not None:
         overrides["datamodule.batch_size"] = int(batch_size)
+    if extra_overrides:
+        overrides.update(extra_overrides)
     cfg = _load_frozen_config(config_path, overrides)
 
     log.info(f"[1/3] Converting {torch_ckpt} -> {ckpt_dir}")

@@ -41,7 +41,9 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
-def _train_toy_checkpoint(workdir: str) -> str:
+def _train_toy_checkpoint(
+    workdir: str, seed: int = 12345, bn_momentum: float = 0.2
+) -> str:
     """Overfit the flagship net on the toy tile; return the orbax ckpt dir."""
     from myria3d_tpu.pctl.dataset.toy_dataset import (
         make_toy_dataset_from_test_file,
@@ -62,11 +64,14 @@ def _train_toy_checkpoint(workdir: str) -> str:
                    "datamodule.data_dir=null",
                    "datamodule.split_csv_path=null",
                    "trainer.max_epochs=25",
+                   f"seed={int(seed)}",
                    # torch-parity BN momentum 0.01 leaves eval-mode running
                    # stats near init after a short run (ROADMAP known gap);
-                   # the stand-in needs WARM stats so its eval-mode
-                   # predictions carry real structure for both sides
-                   "model.neural_net_hparams.bn_momentum=0.2",
+                   # the default stand-in regime uses 0.2 so its eval-mode
+                   # predictions carry real structure for both sides; the
+                   # sweep also covers the reference's 0.01 (cold-stats)
+                   # regime — parity must hold for BOTH
+                   f"model.neural_net_hparams.bn_momentum={bn_momentum}",
                    f"hydra.run.dir={os.path.join(workdir, 'run')}"])
     update(cfg, "callbacks.model_checkpoint.dirpath",
            os.path.join(workdir, "ckpts"))
@@ -182,17 +187,21 @@ def _oracle_predict(torch_ckpt: str, src_las: str, cfg, out_dir: str) -> str:
     return out
 
 
-def main() -> int:
+def _one_run(
+    workdir: str, seed: int, bn_momentum: float, overlap: int
+) -> dict:
+    """Train one stand-in and score ours-vs-oracle parity for it."""
     from myria3d_tpu.parity import (
         DEFAULT_CONFIG,
         _load_frozen_config,
         run_parity,
     )
 
-    workdir = tempfile.mkdtemp(prefix="proto151_evidence_")
-    print(f"# workdir {workdir}")
-    print("# [1/4] training toy checkpoint (TPU overfit)")
-    src_las, orbax_dir = _train_toy_checkpoint(workdir)
+    print(f"# [1/4] training toy checkpoint (TPU overfit) seed={seed} "
+          f"bn_momentum={bn_momentum} overlap={overlap}")
+    src_las, orbax_dir = _train_toy_checkpoint(
+        workdir, seed=seed, bn_momentum=bn_momentum
+    )
     print(f"# checkpoint: {orbax_dir}")
 
     torch_ckpt = os.path.join(workdir, "proto151_standin.ckpt")
@@ -202,10 +211,13 @@ def main() -> int:
     cfg = _load_frozen_config(DEFAULT_CONFIG, {
         "predict.src_las": os.path.abspath(src_las),
         "predict.output_dir": os.path.join(workdir, "ref_out"),
+        "predict.subtile_overlap": int(overlap),
         "datamodule.epsg": None,
     })
     print("# [3/4] reference-side oracle predict (torch CPU, exact)")
-    ref_out = _oracle_predict(torch_ckpt, src_las, cfg, os.path.join(workdir, "ref_out"))
+    ref_out = _oracle_predict(
+        torch_ckpt, src_las, cfg, os.path.join(workdir, "ref_out")
+    )
     print(f"# reference oracle output: {ref_out}")
 
     print("# [4/4] parity run (fully-exact TPU pipeline)")
@@ -213,18 +225,77 @@ def main() -> int:
         torch_ckpt, src_las, ref_out=ref_out,
         output_dir=os.path.join(workdir, "ours"),
         epsg=None,
+        extra_overrides={"predict.subtile_overlap": int(overlap)},
     )
-    report["evidence"] = (
+    report["standin"] = {
+        "seed": int(seed),
+        "bn_momentum": float(bn_momentum),
+        "subtile_overlap": int(overlap),
+    }
+    return report
+
+
+# Sweep plan (round-5 verdict item #4): the r4 PASS was a single point —
+# one stand-in, one BN regime, non-overlapping subtiles. Harden it with
+# seed variance at the production-like setting, the reference's cold-stats
+# bn_momentum=0.01 regime, and a multi-subtile sliding window
+# (subtile_overlap=25, the reference's documented production knob —
+# configs/predict/default.yaml:7).
+SWEEP = (
+    (12345, 0.2, 0),
+    (23456, 0.2, 0),
+    (34567, 0.2, 0),
+    (12345, 0.01, 0),
+    (12345, 0.2, 25),
+)
+
+
+def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="single run (the r4 protocol) instead of the sweep")
+    ap.add_argument("--out", default=os.path.join(REPO, "PARITY_r05.json"))
+    args = ap.parse_args()
+
+    evidence = (
         "proto151 blob unavailable (reference .MISSING_LARGE_BLOBS); "
         "stand-in = toy-overfit weights exported through the reference "
         "state_dict key plan; reference side = validated plain-torch "
         "PyGRandLANet oracle with exact kNN + exact IDW interpolation"
     )
-    out_json = os.path.join(REPO, "PARITY_r04.json")
-    with open(out_json, "w") as f:
+    sweep = SWEEP[:1] if args.quick else SWEEP
+    runs = []
+    for seed, bn, ov in sweep:
+        workdir = tempfile.mkdtemp(
+            prefix=f"proto151_s{seed}_bn{bn}_ov{ov}_"
+        )
+        print(f"# workdir {workdir}")
+        runs.append(_one_run(workdir, seed, bn, ov))
+
+    diffs = [r["miou_diff"] for r in runs]
+    agreements = [r["ours_vs_ref"]["agreement"] for r in runs]
+    report = {
+        "metric": "proto151_parity_sweep",
+        "tolerance": runs[0]["tolerance"],
+        "n_runs": len(runs),
+        "miou_diff_max": float(max(diffs)),
+        "miou_diff_mean": float(np.mean(diffs)),
+        "agreement_min": float(min(agreements)),
+        "verdict": (
+            "PASS" if all(r["verdict"] == "PASS" for r in runs) else "FAIL"
+        ),
+        "evidence": evidence,
+        "runs": runs,
+    }
+    with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
-    print(f"# wrote {out_json}: verdict={report.get('verdict')}")
-    return 1 if report.get("verdict") == "FAIL" else 0
+    print(f"# wrote {args.out}: verdict={report['verdict']} "
+          f"miou_diff max={report['miou_diff_max']:.4f} "
+          f"mean={report['miou_diff_mean']:.4f} "
+          f"agreement min={report['agreement_min']:.4f}")
+    return 1 if report["verdict"] == "FAIL" else 0
 
 
 if __name__ == "__main__":
