@@ -106,8 +106,9 @@ def _pointnet2_model():
 def bench_train(args_cli) -> None:
     """Train-step throughput + MFU through the shipped default train path
     (``configs/model/randla_net_model.yaml``: ``sort_inputs: true,
-    knn_window: 4608`` — windowed kNN + MXU scatter-add gather VJPs; the
-    fused train-mode LFA kernel is opt-in and OFF, measured 0.95x —
+    knn_window: 4608``, ``fused_train_lfa: auto`` — windowed kNN + MXU
+    scatter-add gather VJPs, with the fused train-mode LFA kernel
+    engaging at the default B=16 per its measured ≥16 crossover;
     docs/perf_notes.md round 5)."""
     from __graft_entry__ import _flagship_model
 

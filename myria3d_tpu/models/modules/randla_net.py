@@ -21,7 +21,7 @@ Channel plan matches the reference exactly (``pyg_randla_net.py:40-53``):
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -222,12 +222,14 @@ class DilatedResidualBlock(nn.Module):
     # Route training through the fused train-mode LFA Pallas kernel
     # (ops/pallas_lfa_train.py: batch-moment BN folded in, hand-written
     # VJP). Validated on v5e (op-check vs interpret ok, whole-model grad
-    # cosine 0.9987 vs the unfused program) but MEASURED SLOWER than the
-    # unfused windowed path it would replace — 107.1 vs 101.9 ms at
-    # B=8/N=12288 (docs/perf_notes.md round 5) — so it is opt-in, not the
-    # default. The default train path is windowed Pallas kNN + XLA LFA +
-    # MXU scatter-add gather VJPs.
-    fused_train_lfa: bool = False
+    # cosine 0.9987 vs the unfused program); measured BATCH-DEPENDENT —
+    # 0.84x at B=8 (kernel fixed costs dominate) but 1.27x at B=16
+    # (147.6 vs 188.1 ms, docs/perf_notes.md round 5). "auto" (default)
+    # engages it only when the stage's compile-time batch dim ≥ 16 (the
+    # measured crossover side); True/False force it on/off. Below the
+    # threshold the path is windowed Pallas kNN + XLA LFA + MXU
+    # scatter-add gather VJPs.
+    fused_train_lfa: Any = "auto"
 
     @nn.compact
     def __call__(
@@ -261,8 +263,12 @@ class DilatedResidualBlock(nn.Module):
         )
         from myria3d_tpu.ops.pallas_lfa import lfa_fused_available
 
+        use_fused_train = (
+            self.fused_train_lfa is True
+            or (self.fused_train_lfa == "auto" and x.shape[0] >= 16)
+        )
         if (
-            self.fused_train_lfa
+            use_fused_train
             and window > 0 and train and x.dtype == jnp.float32
         ):
             # Fused TRAIN-mode LFA (batch-moment BN + hand-written VJP):
@@ -443,10 +449,11 @@ class RandLANet(nn.Module):
     # sort_inputs=true would pay a redundant in-model argsort (identity
     # permutation) per batch. Requires knn_window > 0 to matter.
     sort_inputs: bool = False
-    # Opt-in fused train-mode LFA kernel for the encoder blocks — see
-    # DilatedResidualBlock.fused_train_lfa (measured slower than the
-    # default unfused windowed path on v5e; validated, kept as a knob).
-    fused_train_lfa: bool = False
+    # Fused train-mode LFA kernel routing for the encoder blocks — see
+    # DilatedResidualBlock.fused_train_lfa. "auto" (default) engages it
+    # at compile-time batch dims ≥ 16 where it measured 1.27x on v5e;
+    # True/False force.
+    fused_train_lfa: Any = "auto"
 
     @nn.compact
     def __call__(

@@ -1,10 +1,11 @@
 """On-TPU validation + measurement of the fused train-mode LFA.
 
-The fused train-mode LFA (``ops/pallas_lfa_train.py``) is opt-in
-(``neural_net_hparams.fused_train_lfa``; OFF in the shipped config —
-this harness measured it 0.95x vs the unfused windowed path on v5e, so
-round 5 demoted it from default to knob). The script produces the
-on-hardware evidence behind that decision (round-5 item #1):
+The fused train-mode LFA (``ops/pallas_lfa_train.py``) is routed by
+``neural_net_hparams.fused_train_lfa: "auto"`` — engaged only at
+compile-time batch dims >= 16, where this harness measured it 1.27x on
+v5e (at B=8 it measured 0.84x: the kernel's fixed costs land on a
+DMA-bound critical path). The script produces the on-hardware evidence
+behind that routing (round-5 item #1):
 
 1. wall/step at B=8 and B=16 (N=12288) with the kernel ON vs OFF
    (OFF = the shipped windowed-gather path, the 102.2/186.1 ms baseline);
@@ -44,9 +45,9 @@ WINDOW = 4608  # shipped default (configs/model/randla_net_model.yaml)
 
 
 def _model(fused: bool = True):
-    """fused=True opts into the fused train-mode LFA kernel (it is OFF
-    in the shipped config — measured 0.95x vs the unfused windowed path,
-    docs/perf_notes.md round 5); fused=False is that shipped default."""
+    """fused=True/False FORCE the fused train-mode LFA on/off (the
+    shipped config routes by batch size via "auto"; forcing keeps the
+    comparison batch-size-independent)."""
     return Model(
         neural_net_class_name="RandLANet",
         neural_net_hparams=dict(
