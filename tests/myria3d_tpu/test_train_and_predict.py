@@ -150,6 +150,48 @@ def test_predict_las_invariance(
     assert np.all(~predicted[src.points["Classification"] == 65])
 
 
+def test_shipped_checkpoint_inference(tmp_path, toy_las_path):
+    """Real-inference smoke with the SHIPPED checkpoint through the frozen
+    predict config — the analog of the reference CI running its production
+    checkpoint on a hosted LAS (``.github/workflows/cicd.yaml:26-76``).
+    Uses the committed 25-epoch warm-BN toy-overfit asset
+    (``trained_model_assets/randlanet_toy_V0.5.0_ckpt`` — the same
+    training regime as the parity stand-ins, so eval-mode BN carries
+    real running statistics)."""
+    from myria3d_tpu.pctl.io.las import read_las
+
+    assets = os.path.join(REPO_ROOT, "trained_model_assets")
+    ckpt = os.path.join(assets, "randlanet_toy_V0.5.0_ckpt")
+    assert os.path.isdir(ckpt)
+    out_dir = str(tmp_path / "preds")
+    run_cli(
+        [
+            "--config-path", assets,
+            "--config-name", "randlanet_tpu_predict_config_V0.1.0.yaml",
+            "task.task_name=predict",
+            f"predict.src_las={toy_las_path}",
+            f"predict.ckpt_path={ckpt}",
+            f"predict.output_dir={out_dir}",
+            "datamodule.batch_size=2",
+        ],
+        cwd=str(tmp_path),
+    )
+    out_path = os.path.join(out_dir, os.path.basename(toy_las_path))
+    assert os.path.isfile(out_path)
+    src = read_las(toy_las_path)
+    out = read_las(out_path)
+    assert len(out.points) == len(src.points)
+    names = out.points.dtype.names
+    assert "PredictedClassification" in names and "entropy" in names
+    # the overfit checkpoint must actually discriminate on its tile:
+    # several classes present and decent agreement on non-artefact points
+    pred = np.asarray(out.points["PredictedClassification"], np.int64)
+    gt = np.asarray(src.points["Classification"], np.int64)
+    scored = (gt != 65) & (gt != 64)
+    assert len(np.unique(pred[scored])) >= 3
+    assert (pred[scored] == gt[scored]).mean() > 0.5
+
+
 def test_predict_with_subtile_overlap(
     tmp_path, one_epoch_trained_ckpt, toy_las_path
 ):
