@@ -176,15 +176,19 @@ def split_cloud_into_samples(
     binned = native_bin_windows(xy_rel, centers_1d, float(radius), float(stride))
     if binned is not None:
         offsets, indices = binned
-        # ONE window-grouped gather of the whole tile, then zero-copy
-        # slices per window: 49+ small structured gathers of the same rows
-        # cost ~1.5x one big ascending-index pass (measured 1-core,
-        # docs/perf_notes.md round 5), and each slice is a view.
-        grouped = points[indices]
+        # Per-window structured gathers, NOT one whole-tile grouped
+        # gather: at production scale (17 M points) the single
+        # ascending-index pass materializes a ~750 MB copy whose
+        # allocation + writeback measured 2-3x SLOWER than 400 small
+        # gathers with cache-resident destinations (3.65 vs 6.9-12.2 s,
+        # 1-core; docs/perf_notes.md round 5). The small-tile win the
+        # grouped form showed on the 60 k toy profile does not survive
+        # the cache cliff.
         for w in range(n_k * n_k):
             s, e = offsets[w], offsets[w + 1]
             if e > s:
-                yield indices[s:e], grouped[s:e]
+                sample_idx = indices[s:e]
+                yield sample_idx, points[sample_idx]
         return
 
     # chunk the combo expansion so peak memory stays ~O(block * C^2)
