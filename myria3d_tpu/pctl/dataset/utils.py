@@ -156,8 +156,6 @@ def split_cloud_into_samples(
     """
     if points is None:
         points, _ = read_las_array_as_float32(las_path, epsg)
-    xy = np.stack([points["X"], points["Y"]], axis=1).astype(np.float64)
-    xy_rel = xy - xy.min(axis=0)
 
     if subtile_overlap < 0:
         raise ValueError("datamodule.subtile_overlap must be positive.")
@@ -170,10 +168,24 @@ def split_cloud_into_samples(
     )
     n_k = len(centers_1d)
 
-    # native counting-sort binning (one O(N) pass, no lexsort)
-    from myria3d_tpu.pctl.native import native_bin_windows
+    # native counting-sort binning (one O(N) pass, no lexsort) — the
+    # fields variant reads X/Y straight from the packed f32 records,
+    # skipping the (n, 2) f64 staging (three full ~275 MB passes at the
+    # 17 M production tile; bit-compatible, f32→f64 is exact)
+    from myria3d_tpu.pctl.native import (
+        native_bin_windows,
+        native_bin_windows_fields,
+    )
 
-    binned = native_bin_windows(xy_rel, centers_1d, float(radius), float(stride))
+    binned = native_bin_windows_fields(
+        points, centers_1d, float(radius), float(stride)
+    )
+    if binned is None:
+        xy = np.stack([points["X"], points["Y"]], axis=1).astype(np.float64)
+        xy_rel = xy - xy.min(axis=0)
+        binned = native_bin_windows(
+            xy_rel, centers_1d, float(radius), float(stride)
+        )
     if binned is not None:
         offsets, indices = binned
         # Per-window structured gathers, NOT one whole-tile grouped

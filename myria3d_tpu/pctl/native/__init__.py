@@ -71,6 +71,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
         dp, ctypes.c_int64, dp, ctypes.c_int32,
         ctypes.c_double, ctypes.c_double, i64p, i64p, i64p,
     ]
+    _u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.bin_windows_count_f32s.restype = ctypes.c_int64
+    lib.bin_windows_count_f32s.argtypes = [
+        _u8p, _u8p, ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int64, dp, ctypes.c_int32,
+        ctypes.c_double, ctypes.c_double, i64p,
+    ]
+    lib.bin_windows_fill_f32s.restype = None
+    lib.bin_windows_fill_f32s.argtypes = [
+        _u8p, _u8p, ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int64, dp, ctypes.c_int32,
+        ctypes.c_double, ctypes.c_double, i64p, i64p, i64p,
+    ]
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i32p = ctypes.POINTER(ctypes.c_int32)
     u32p = ctypes.POINTER(ctypes.c_uint32)
@@ -183,6 +196,58 @@ def native_bin_windows(
     lib.bin_windows_fill(
         xy_c.ctypes.data_as(dp), ctypes.c_int64(n), cen.ctypes.data_as(dp),
         ctypes.c_int32(n_k), ctypes.c_double(radius), ctypes.c_double(stride),
+        offsets.ctypes.data_as(i64p), cursors.ctypes.data_as(i64p),
+        indices.ctypes.data_as(i64p),
+    )
+    return offsets, indices[: int(total)]
+
+
+def native_bin_windows_fields(
+    points: np.ndarray, centers: np.ndarray, radius: float, stride: float
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """`native_bin_windows` reading X/Y straight from the packed f32
+    record columns (no (n, 2) f64 staging — three full ~275 MB passes at
+    the 17 M-point production tile). Bit-compatible with the staged path:
+    f32→f64 is exact, so every relative coordinate matches. Returns None
+    when unavailable or when the record layout isn't strided f32 X/Y."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    fields = points.dtype.fields or {}
+    if ("X" not in fields or "Y" not in fields
+            or fields["X"][0] != np.float32 or fields["Y"][0] != np.float32):
+        return None
+    if int(2 * radius / stride) + 2 > 8:  # C++ per-axis candidate buffer
+        return None
+    n = points.shape[0]
+    if n == 0:
+        return None
+    dp = ctypes.POINTER(ctypes.c_double)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    rec = points.dtype.itemsize
+    base = points.ctypes.data
+    px = ctypes.cast(base + fields["X"][1], u8p)
+    py = ctypes.cast(base + fields["Y"][1], u8p)
+    minx = float(np.float64(points["X"].min()))
+    miny = float(np.float64(points["Y"].min()))
+    cen = np.ascontiguousarray(centers, np.float64)
+    n_k = len(cen)
+    offsets = np.empty(n_k * n_k + 1, np.int64)
+    total = lib.bin_windows_count_f32s(
+        px, py, ctypes.c_int64(rec),
+        ctypes.c_double(minx), ctypes.c_double(miny),
+        ctypes.c_int64(n), cen.ctypes.data_as(dp), ctypes.c_int32(n_k),
+        ctypes.c_double(radius), ctypes.c_double(stride),
+        offsets.ctypes.data_as(i64p),
+    )
+    indices = np.empty(max(int(total), 1), np.int64)
+    cursors = np.empty(max(n_k * n_k, 1), np.int64)
+    lib.bin_windows_fill_f32s(
+        px, py, ctypes.c_int64(rec),
+        ctypes.c_double(minx), ctypes.c_double(miny),
+        ctypes.c_int64(n), cen.ctypes.data_as(dp), ctypes.c_int32(n_k),
+        ctypes.c_double(radius), ctypes.c_double(stride),
         offsets.ctypes.data_as(i64p), cursors.ctypes.data_as(i64p),
         indices.ctypes.data_as(i64p),
     )
