@@ -150,10 +150,12 @@ def test_predict_las_invariance(
     assert np.all(~predicted[src.points["Classification"] == 65])
 
 
-def test_shipped_checkpoint_inference(tmp_path, toy_las_path):
+@pytest.mark.parametrize("overlap", [0, 25], ids=["plain", "overlap25"])
+def test_shipped_checkpoint_inference(tmp_path, toy_las_path, overlap):
     """Real-inference smoke with the SHIPPED checkpoint through the frozen
     predict config — the analog of the reference CI running its production
-    checkpoint on a hosted LAS (``.github/workflows/cicd.yaml:26-76``).
+    checkpoint on a hosted LAS, plain AND with the sliding window
+    (``.github/workflows/cicd.yaml:26-76`` runs both).
     Uses the committed 25-epoch warm-BN toy-overfit asset
     (``trained_model_assets/randlanet_toy_V0.5.0_ckpt`` — the same
     training regime as the parity stand-ins, so eval-mode BN carries
@@ -172,6 +174,7 @@ def test_shipped_checkpoint_inference(tmp_path, toy_las_path):
             f"predict.src_las={toy_las_path}",
             f"predict.ckpt_path={ckpt}",
             f"predict.output_dir={out_dir}",
+            f"predict.subtile_overlap={overlap}",
             "datamodule.batch_size=2",
         ],
         cwd=str(tmp_path),
