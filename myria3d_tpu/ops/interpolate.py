@@ -85,6 +85,10 @@ def knn_interpolate(
     idx, d2, neigh_valid = knn(
         pos_tgt, pos_src, src_mask, k, query_mask=tgt_mask, exact=exact,
         window=window,
+        # this two-op path derives WEIGHTS from d2 (the exact_interpolation
+        # contract: exact pyg weighting on the selected neighbors) — keep
+        # full-f32 distances instead of the packed kernel's 2^-11 trunc
+        exact_d2=True,
     )
     w = 1.0 / jnp.maximum(d2, 1e-16)                    # (B, Nt, K)
     w = jnp.where(neigh_valid, w, 0.0)

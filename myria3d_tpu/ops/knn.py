@@ -82,7 +82,8 @@ def _knn_single(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "exact", "recall_target", "window")
+    jax.jit,
+    static_argnames=("k", "exact", "recall_target", "window", "exact_d2"),
 )
 def knn(
     query_pos: jnp.ndarray,    # (B, Nq, 3)
@@ -93,6 +94,7 @@ def knn(
     exact: bool = False,
     recall_target: float = 0.95,
     window: int = 0,
+    exact_d2: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Masked kNN from queries into keys, per batch element.
 
@@ -102,6 +104,13 @@ def knn(
     query tile (docs/perf_notes.md round 4: ≥99.97 % neighbor capture at
     window 4608 on the 40k shape, ~9x less distance work). Ignored on the
     non-Pallas fallback and under ``exact=True``.
+
+    ``exact_d2=True`` keeps full-f32 ``dist2`` on the windowed Pallas path
+    (classic two-reduction extraction) for callers that derive WEIGHTS from
+    the distances (the two-op exact interpolation). The default packed
+    extraction truncates returned distances to 2^-11 relative (selection
+    quantization far inside the binned recall envelope) for ~1.3x kernel
+    speed (docs/perf_notes.md round 5).
 
     Returns:
         idx:   (B, Nq, K) int32 neighbor indices into the key axis
@@ -144,7 +153,8 @@ def knn(
 
         if knn_pallas_available(k_eff, nk):
             idx, d2 = knn_topk_pallas(
-                q4, k4, k_eff, window=window, query_mask=query_mask
+                q4, k4, k_eff, window=window, query_mask=query_mask,
+                packed=not exact_d2,
             )
             return _finalize(idx, d2, k, k_eff, query_mask)
 

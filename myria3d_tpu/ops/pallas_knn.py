@@ -42,6 +42,7 @@ Reference parity: replaces ``torch_cluster.knn`` (reference
 from __future__ import annotations
 
 import functools
+import struct
 from typing import Tuple
 
 import jax
@@ -56,6 +57,27 @@ BINS = 512       # running minima per query (lane axis; key chunk width)
 # as consts by the traced kernel, which pallas_call rejects
 _INF = 3e38
 _BIG_I = 2**30
+# IEEE-754 bit pattern of _INF as a positive int32 — the packed-extraction
+# sentinel base (squared distances are always >= +0.0, so the int32 view
+# of every real score is non-negative and int ordering == float ordering;
+# the packed value is kept BITCAST BACK to f32 so the running minimum and
+# the extraction reductions ride the native float min units — the same
+# state held as int32 measured 1.7x slower end-to-end)
+_INF_BITS = 0x7F61B1E6
+
+
+def _rel_bits(w_chunks: int, bins: int) -> int:
+    """Bits needed for a window-RELATIVE key position (packed-extraction
+    index payload). Window 4608 -> 10 chunks x 512 = 13 bits."""
+    return max(1, (w_chunks * bins - 1).bit_length())
+
+
+def _packed_sentinel(idx_bits: int) -> float:
+    """The packed sentinel as the f32 whose bits are INF_BITS | low-mask."""
+    low = (1 << idx_bits) - 1
+    return struct.unpack(
+        "<f", struct.pack("<i", (_INF_BITS & ~low) | low)
+    )[0]
 
 
 def _extract_topk(state_s, state_i, idx_ref, s_ref, k_out: int,
@@ -211,6 +233,87 @@ def _knn_kernel_vpu_win(base_ref, q_ref, kt_ref, idx_ref, s_ref, *,
         state_i = jnp.where(better, lane + off, state_i)
 
     _extract_topk(state_s, state_i, idx_ref, s_ref, k_out, k_real)
+
+
+def _knn_kernel_vpu_win_packed(base_ref, q_ref, kt_ref, idx_ref, s_ref, *,
+                               k_out: int, bins: int, w_chunks: int,
+                               idx_bits: int, k_real: int = 0):
+    """Windowed VPU kNN with PACKED single-reduction extraction.
+
+    The classic extraction (``_extract_topk``) pays TWO cross-lane
+    min-reductions plus ~4 full-state elementwise ops per neighbor — at
+    K=16 that is ~54 % of the whole windowed kernel (measured 0.78 ms per
+    pass at the B=16/40k production shape, docs/perf_notes.md round 5).
+    Here the per-lane running state is ONE value whose high bits are the
+    IEEE bits of the (non-negative) squared distance and whose low
+    ``idx_bits`` bits are the window-RELATIVE key position: ``min`` is
+    then lexicographic (score-with-truncated-mantissa, index) — one
+    reduction yields winner score AND index, and ties still break toward
+    the smaller key index exactly like ``_extract_topk``. The packed
+    state is held BITCAST to f32 (all packed values are positive floats,
+    so f32 ordering == the int ordering) because the float min units are
+    the fast path — the same kernel with an int32 state measured 18.6 ms
+    vs 10.8 ms f32 at the B=16/40448 shape.
+
+    Precision contract: scores keep ``23 - idx_bits`` mantissa bits
+    (window 4608 -> 13 idx bits -> 2^-11 ~ 5e-4 relative, finer than the
+    f16 wire), truncated DOWN; neighbor selection can swap candidates
+    whose true distances agree to 2^-11 — far inside the binned-
+    approximation envelope already accepted (lane-collision recall ~0.99).
+    Exactness-sensitive callers (``predict.exact_interpolation`` weight
+    computation) route to the classic kernel via ``packed=False``.
+    """
+    k_real = k_real or k_out
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    base = base_ref[b, i]                                   # chunk index
+    q = q_ref[0]                                            # (TQ, 4)
+    tq = q.shape[0]
+    q0 = q[:, 0:1]
+    q1 = q[:, 1:2]
+    q2 = q[:, 2:3]
+
+    low = (1 << idx_bits) - 1
+    sentf = _packed_sentinel(idx_bits)
+    state_p = jnp.full((tq, bins), sentf, jnp.float32)
+    rel0 = jax.lax.broadcasted_iota(jnp.int32, (tq, bins), 1)
+
+    for c in range(w_chunks):                               # static unroll
+        off = pl.multiple_of((base + c) * bins, bins)
+        kc = kt_ref[0, :, pl.ds(off, bins)]                 # (4, bins)
+        kw = kc[3:4, :]
+        # the 1e-35 seed keeps every packed value a NORMAL f32: a zero
+        # score (self-match) would otherwise pack to a denormal whose
+        # flush-to-zero in the min/select units erases the index payload
+        s = jnp.broadcast_to(kw * kw + 1e-35, (tq, bins))   # pad term w^2
+        d0 = q0 - kc[0:1, :]
+        s = s + d0 * d0
+        d1 = q1 - kc[1:2, :]
+        s = s + d1 * d1
+        d2 = q2 - kc[2:3, :]
+        s = s + d2 * d2
+        sp = jax.lax.bitcast_convert_type(s, jnp.int32)
+        sp = (sp & jnp.int32(~low)) | (rel0 + c * bins)
+        state_p = jnp.minimum(
+            state_p, jax.lax.bitcast_convert_type(sp, jnp.float32)
+        )
+
+    kb = base * bins
+    m = gi = sv = None
+    for t in range(k_out):                                  # static unroll
+        if t < k_real:
+            m = jnp.min(state_p, axis=1, keepdims=True)     # (TQ, 1) f32
+            mi = jax.lax.bitcast_convert_type(m, jnp.int32)
+            gi = kb + (mi & jnp.int32(low))
+            sv = jax.lax.bitcast_convert_type(
+                mi & jnp.int32(~low), jnp.float32
+            )
+        # pad slots repeat the last column — see _extract_topk's note on
+        # structurally-identical writes vs Mosaic scoped-VMEM allocation
+        s_ref[0, :, t:t + 1] = sv
+        idx_ref[0, :, t:t + 1] = gi
+        if t < k_real:
+            state_p = jnp.where(state_p == m, sentf, state_p)
 
 
 def _interp_kernel_vpu(q_ref, kt_ref, pt_ref, out_ref, *, k_out: int,
@@ -369,6 +472,85 @@ def _interp_kernel_vpu_win(base_ref, q_ref, kt_ref, pt_ref, out_ref, *,
     out_ref[0] = acc
 
 
+def _interp_kernel_vpu_win_packed(base_ref, q_ref, kt_ref, pt_ref, out_ref,
+                                  *, k_out: int, bins: int,
+                                  valid_thresh: float, w_chunks: int,
+                                  idx_bits: int):
+    """Windowed fused kNN+interpolation with PACKED single-reduction
+    selection (see ``_knn_kernel_vpu_win_packed``). The inverse-d2 weights
+    come from the truncated scores (2^-11 relative at window 4608) — finer
+    than the bf16 the MXU recombine already quantizes them to (2^-8), so
+    the kernel's documented precision contract is unchanged. The validity
+    check runs in the packed integer domain (monotone in truncated score).
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    base = base_ref[b, i]
+    q = q_ref[0]                                            # (TQ, 4)
+    tq = q.shape[0]
+    q0 = q[:, 0:1]
+    q1 = q[:, 1:2]
+    q2 = q[:, 2:3]
+
+    low = (1 << idx_bits) - 1
+    sentf = _packed_sentinel(idx_bits)
+    state_p = jnp.full((tq, bins), sentf, jnp.float32)
+    rel0 = jax.lax.broadcasted_iota(jnp.int32, (tq, bins), 1)
+    for c in range(w_chunks):                               # static unroll
+        off = pl.multiple_of((base + c) * bins, bins)
+        kc = kt_ref[0, :, pl.ds(off, bins)]                 # (4, bins)
+        kw = kc[3:4, :]
+        # 1e-35 seed: keep packed values out of the denormal/FTZ range
+        # (see _knn_kernel_vpu_win_packed)
+        s = jnp.broadcast_to(kw * kw + 1e-35, (tq, bins))
+        d0 = q0 - kc[0:1, :]
+        s = s + d0 * d0
+        d1 = q1 - kc[1:2, :]
+        s = s + d1 * d1
+        d2 = q2 - kc[2:3, :]
+        s = s + d2 * d2
+        sp = jax.lax.bitcast_convert_type(s, jnp.int32)
+        sp = (sp & jnp.int32(~low)) | (rel0 + c * bins)
+        state_p = jnp.minimum(
+            state_p, jax.lax.bitcast_convert_type(sp, jnp.float32)
+        )
+
+    # validity threshold in the packed domain: low bits zero, so
+    # m < thresh_f  <=>  truncated score < truncated threshold
+    thresh_f = struct.unpack("<f", struct.pack(
+        "<i", struct.unpack("<i", struct.pack("<f", valid_thresh))[0] & ~low
+    ))[0]
+
+    work = state_p
+    selected = jnp.zeros((tq, bins), jnp.bool_)
+    for _ in range(k_out):                                  # static unroll
+        m = jnp.min(work, axis=1, keepdims=True)            # (TQ, 1) f32
+        win = work == m
+        selected = selected | (win & (m < thresh_f))
+        work = jnp.where(win, sentf, work)
+
+    state_i = jax.lax.bitcast_convert_type(state_p, jnp.int32)
+    s_trunc = jax.lax.bitcast_convert_type(
+        state_i & jnp.int32(~low), jnp.float32
+    )
+    w = jnp.where(selected, 1.0 / jnp.maximum(s_trunc, 1e-16), 0.0)
+    den = jnp.sum(w, axis=1, keepdims=True)
+    w_norm = w / jnp.maximum(den, 1e-16)
+
+    chunk_rel = (state_i & jnp.int32(low)) // bins          # (TQ, bins)
+    acc = jnp.zeros((tq, pt_ref.shape[1]), jnp.float32)
+    for c in range(w_chunks):                               # static unroll
+        off = pl.multiple_of((base + c) * bins, bins)
+        wc = jnp.where(chunk_rel == c, w_norm, 0.0).astype(jnp.bfloat16)
+        pc = pt_ref[0, :, pl.ds(off, bins)]                 # (C_pad, bins)
+        acc = acc + jax.lax.dot_general(
+            wc, pc,
+            dimension_numbers=(((1,), (1,)), ((), ())),     # (TQ, C_pad)
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[0] = acc
+
+
 def _window_chunks(window: int, nk_pad: int, bins: int) -> int:
     """Static chunk count for a ``window``-position scan: +1 chunk absorbs
     the base's bins-alignment rounding."""
@@ -425,7 +607,9 @@ def _pad_axis(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "tile_q", "bins", "interpret", "variant", "window"),
+    static_argnames=(
+        "k", "tile_q", "bins", "interpret", "variant", "window", "packed"
+    ),
 )
 def knn_topk_pallas(
     q4: jnp.ndarray,           # (B, Nq, 4) centered + pad-augmented queries
@@ -437,6 +621,7 @@ def knn_topk_pallas(
     variant: str = "vpu",
     window: int = 0,
     query_mask: jnp.ndarray = None,   # (B, Nq) bool — window-bases guard only
+    packed: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Binned approximate top-k nearest keys for every query.
 
@@ -457,30 +642,41 @@ def knn_topk_pallas(
     ≥99.97 % at window 4608 on the 40k production shape — recall is
     unchanged while the distance streaming drops ~9x.
 
+    ``packed`` (windowed path only): single-reduction packed extraction —
+    returned scores are truncated DOWN to ``23 - idx_bits`` mantissa bits
+    (2^-11 relative at window 4608) and near-tied neighbors within that
+    precision may swap; ``packed=False`` keeps the classic exact-f32-score
+    extraction (``ops.knn.knn(exact_d2=True)`` — the two-op exact
+    interpolation weighting path).
+
     Non-differentiable by declaration (zero-tangent custom_jvp): neighbor
     indices are discrete and the forward recomputes any distance it needs
     gradients for, while pallas_call itself has no AD rule — without the
     wrapper, jit(grad(train_step)) fails to linearize.
     """
     return _topk_nodiff(
-        q4, k4, query_mask, k, tile_q, bins, interpret, variant, window
+        q4, k4, query_mask, k, tile_q, bins, interpret, variant, window,
+        packed,
     )
 
 
-@functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _topk_nodiff(q4, k4, query_mask, k, tile_q, bins, interpret, variant,
-                 window):
+                 window, packed):
     return _topk_impl(
-        q4, k4, k, tile_q, bins, interpret, variant, window, query_mask
+        q4, k4, k, tile_q, bins, interpret, variant, window, query_mask,
+        packed,
     )
 
 
 @_topk_nodiff.defjvp
-def _topk_nodiff_jvp(k, tile_q, bins, interpret, variant, window, primals,
-                     tangents):
+def _topk_nodiff_jvp(k, tile_q, bins, interpret, variant, window, packed,
+                     primals, tangents):
     import numpy as np
 
-    out = _topk_nodiff(*primals, k, tile_q, bins, interpret, variant, window)
+    out = _topk_nodiff(
+        *primals, k, tile_q, bins, interpret, variant, window, packed
+    )
     idx, d2 = out
     idx_tan = np.zeros(idx.shape, jax.dtypes.float0)  # int output: float0
     return out, (idx_tan, jnp.zeros_like(d2))
@@ -496,6 +692,7 @@ def _topk_impl(
     variant: str = "vpu",
     window: int = 0,
     query_mask: jnp.ndarray = None,
+    packed: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     if variant not in ("vpu", "mxu"):
         raise ValueError(f"unknown kNN kernel variant {variant!r}")
@@ -556,10 +753,19 @@ def _topk_impl(
         # whole-output scoped-VMEM stack allocation (21.8 MB compile OOM
         # observed for both full-scan k=1 at tile 256 and windowed at
         # tile 512) — they keep the full k_out extraction.
-        kernel = functools.partial(
-            _knn_kernel_vpu_win, k_out=k_kernel, bins=bins, w_chunks=w_chunks,
-            k_real=k if tile_q == 256 else k_kernel,
-        )
+        idx_bits = _rel_bits(w_chunks, bins)
+        if packed and idx_bits <= 16:
+            kernel = functools.partial(
+                _knn_kernel_vpu_win_packed, k_out=k_kernel, bins=bins,
+                w_chunks=w_chunks, idx_bits=idx_bits,
+                k_real=k if tile_q == 256 else k_kernel,
+            )
+        else:
+            kernel = functools.partial(
+                _knn_kernel_vpu_win, k_out=k_kernel, bins=bins,
+                w_chunks=w_chunks,
+                k_real=k if tile_q == 256 else k_kernel,
+            )
         bases = _window_bases(q4p, k4p, tile_q, w_chunks, bins, query_mask)
         idx, score = pl.pallas_call(
             kernel,
@@ -695,10 +901,20 @@ def knn_interpolate_pallas(
     windowed = bool(window) and 0 < w_chunks < nk_pad // bins
     out_shape = jax.ShapeDtypeStruct((b, nq_pad, c_pad), jnp.float32)
     if windowed:
-        kernel = functools.partial(
-            _interp_kernel_vpu_win, k_out=min(k, nk), bins=bins,
-            valid_thresh=_VALID_THRESH, w_chunks=w_chunks,
-        )
+        idx_bits = _rel_bits(w_chunks, bins)
+        if idx_bits <= 16:
+            # packed single-reduction selection: truncated-score weights
+            # (2^-11 at window 4608) are finer than the bf16 recombine
+            kernel = functools.partial(
+                _interp_kernel_vpu_win_packed, k_out=min(k, nk), bins=bins,
+                valid_thresh=_VALID_THRESH, w_chunks=w_chunks,
+                idx_bits=idx_bits,
+            )
+        else:
+            kernel = functools.partial(
+                _interp_kernel_vpu_win, k_out=min(k, nk), bins=bins,
+                valid_thresh=_VALID_THRESH, w_chunks=w_chunks,
+            )
         bases = _window_bases(q4p, k4p, tile_q, w_chunks, bins, query_mask)
         out = pl.pallas_call(
             kernel,

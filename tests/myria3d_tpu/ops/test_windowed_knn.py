@@ -100,13 +100,15 @@ def _exact_ref(q4, k4, k):
     return idx, np.take_along_axis(d2, idx, axis=-1)
 
 
-def test_windowed_knn_matches_dense_recall():
+@pytest.mark.parametrize("packed", [True, False])
+def test_windowed_knn_matches_dense_recall(packed):
     from myria3d_tpu.ops.pallas_knn import knn_topk_pallas
 
     b, n, k = 2, 2048, 8
     q4 = _sorted_cloud(b, n)
     idx_w, d2_w = knn_topk_pallas(
-        q4, q4, k, interpret=True, window=1024, bins=512, tile_q=256
+        q4, q4, k, interpret=True, window=1024, bins=512, tile_q=256,
+        packed=packed,
     )
     idx_e, d2_e = _exact_ref(q4, q4, k)
     # recall vs the exact neighbor sets: windowed-binned must match the
@@ -117,12 +119,41 @@ def test_windowed_knn_matches_dense_recall():
     )
     recall = hits / (b * n * k)
     assert recall >= 0.97, recall
-    # distances of selected neighbors are true distances
+    # distances of selected neighbors are true distances — exact on the
+    # classic extraction; truncated DOWN by < 2^-(23-idx_bits) on the
+    # packed one (window 1024 -> 3 chunks -> 11 idx bits -> 2^-12)
     flat_sel = np.take_along_axis(
         ((q4[:, :, None, :3] - q4[:, None, :, :3]) ** 2).sum(-1),
         idx_w, axis=-1,
     )
-    np.testing.assert_allclose(d2_w, flat_sel, rtol=1e-4, atol=1e-4)
+    if packed:
+        assert (d2_w <= flat_sel + 1e-6).all()
+        np.testing.assert_allclose(d2_w, flat_sel, rtol=2**-11, atol=1e-4)
+    else:
+        np.testing.assert_allclose(d2_w, flat_sel, rtol=1e-4, atol=1e-4)
+
+
+def test_windowed_knn_packed_vs_classic_same_sets():
+    """Packed extraction must select the same neighbor SETS as the classic
+    two-reduction extraction away from 2^-11 score ties (random clouds:
+    ties measure ~0 on continuous coordinates)."""
+    from myria3d_tpu.ops.pallas_knn import knn_topk_pallas
+
+    b, n, k = 2, 2048, 8
+    q4 = _sorted_cloud(b, n, seed=11)
+    idx_p, _ = knn_topk_pallas(
+        q4, q4, k, interpret=True, window=1024, bins=512, tile_q=256,
+        packed=True,
+    )
+    idx_c, _ = knn_topk_pallas(
+        q4, q4, k, interpret=True, window=1024, bins=512, tile_q=256,
+        packed=False,
+    )
+    agree = np.mean([
+        set(idx_p[i, r].tolist()) == set(idx_c[i, r].tolist())
+        for i in range(b) for r in range(n)
+    ])
+    assert agree >= 0.999, agree
 
 
 def test_windowed_knn_handles_pad_keys():
