@@ -375,13 +375,19 @@ class Model:
                 state.params, state.batch_stats, x, pos, mask,
                 train=False, rngs={"decimation": rng}, mutable=False,
             )
+            from myria3d_tpu.ops.pallas_knn import stage_window
+
             full = knn_interpolate(
                 logits, sampled_pos, mask, full_pos, full_mask,
                 k=self.interpolation_k, fused_payload=fused,
                 # fully-exact neighbor SEARCH only on the non-fused
                 # (exact_interpolation) path when predict.exact_knn is on
                 exact=(not fused) and self.exact_knn,
-                window=self.interp_window,
+                # density-scaled by the sampled (key) cloud's count: the
+                # full-cloud search keys are the sampled points
+                window=stage_window(
+                    self.interp_window, sampled_pos.shape[1]
+                ),
             )
             # f16 on the wire: the (B, M, C) full-cloud logits are the
             # predict loop's device->host payload; halving it matters on

@@ -235,20 +235,18 @@ class DilatedResidualBlock(nn.Module):
     def __call__(
         self, x: jnp.ndarray, pos: jnp.ndarray, mask: jnp.ndarray, train: bool
     ) -> jnp.ndarray:
-        # Clamp the window to the largest value the stage's key count can
-        # actually honor (w_chunks < n_chunks): deeper stages otherwise
-        # fall back to the full scan AND lose the fused LFA — at the 12k
-        # bucket block2's two gathers alone are ~33 ms at B=48. A thin
-        # x-slab's neighbor span SHRINKS with the stage's point count, so
-        # a proportionally tighter window keeps its capture.
+        # Density-scale AND clamp the window per stage (ops.pallas_knn.
+        # stage_window): a thin x-slab's neighbor span shrinks with the
+        # stage's point count, so a proportionally tighter window keeps
+        # its measured capture while cutting the distance streaming (and
+        # the fused LFA's one-hot span) ~window/4608; the honor clamp
+        # keeps deeper stages on the windowed kernels + fused LFAs — at
+        # the 12k bucket block2's two gathers alone were ~33 ms at B=48.
         window = self.knn_window
         if window:
-            from myria3d_tpu.ops.pallas_knn import BINS
+            from myria3d_tpu.ops.pallas_knn import stage_window
 
-            nk_pad = -(-pos.shape[1] // BINS) * BINS
-            max_win = (nk_pad // BINS - 2) * BINS
-            if max_win >= 2 * BINS:
-                window = min(window, max_win)
+            window = stage_window(window, pos.shape[1])
         idx, _, neigh_valid = knn_graph(
             pos, mask, self.num_neighbors, exact=self.exact_knn,
             window=window,
@@ -532,14 +530,17 @@ class RandLANet(nn.Module):
         fp_widths = (256, 128, 32, d_bottleneck)
         for j, width in enumerate(fp_widths):
             x_skip, pos_skip, mask_skip = skips[len(skips) - 1 - j]
+            from myria3d_tpu.ops.pallas_knn import stage_window
+
             x = knn_interpolate(
                 x, pos, mask, pos_skip, mask_skip, k=1,
                 exact=self.exact_knn,
                 # sorted clouds at every stage (order-preserving
                 # decimation) let the k=1 search window too — it was the
                 # single largest kernel of the 40k predict forward
-                # (67 ms of 408, docs/perf_notes.md round 4 cont.)
-                window=self.knn_window,
+                # (67 ms of 408, docs/perf_notes.md round 4 cont.);
+                # density-scaled by the coarse cloud's key count
+                window=stage_window(self.knn_window, pos.shape[1]),
             ).astype(self.dtype)
             x = jnp.concatenate([x, x_skip], axis=-1)
             x = SharedMLP([width], bn_momentum=self.bn_momentum, dtype=self.dtype,

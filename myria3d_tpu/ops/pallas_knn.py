@@ -557,6 +557,33 @@ def _window_chunks(window: int, nk_pad: int, bins: int) -> int:
     return min(nk_pad // bins, window // bins + 1)
 
 
+def stage_window(window: int, n_keys: int, bins: int = BINS) -> int:
+    """Density-scaled window for a search into ``n_keys`` sorted keys.
+
+    A 256-query tile of an x-sorted cloud spans a thin x-slab whose
+    neighbor span in SORTED KEY POSITIONS scales with the key count, so a
+    single configured window (sized for the 40k bucket) over-scans
+    smaller clouds ~2x. Cap it at ~``n_keys/4`` rounded up to a chunk
+    (floor 5 chunks = 2560): measured in-window capture of exact
+    neighborhoods on production-statistics clouds (docs/perf_notes.md
+    round 5) — 12288 self K=16 @ 3072: 1.00000 (and 1.00000 down to
+    2560+eps); 16384 @ 4096: 1.00000; interp 32768<-12288 K=10 @ 3072:
+    1.00000 — all above the 40k bucket's accepted 0.9997 @ 4608. Also
+    clamps to the largest window the key count can honor
+    (w_chunks < n_chunks — the round-4 per-stage clamp), so deeper
+    decimated stages keep the windowed kernels + fused LFAs.
+    """
+    if not window:
+        return 0
+    nk_pad = -(-n_keys // bins) * bins
+    density_cap = max(5 * bins, -(-(n_keys // 4) // bins) * bins)
+    w = min(window, density_cap)
+    max_win = (nk_pad // bins - 2) * bins
+    if max_win >= 2 * bins:
+        w = min(w, max_win)
+    return w
+
+
 def _window_bases(q4p: jnp.ndarray, k4p: jnp.ndarray, tile_q: int,
                   w_chunks: int, bins: int,
                   query_mask: jnp.ndarray = None) -> jnp.ndarray:
