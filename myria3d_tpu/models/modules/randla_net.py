@@ -527,11 +527,11 @@ class RandLANet(nn.Module):
         # Decoder: FP modules — k=1 kNN-interpolate up to the skip
         # resolution, concat skip features, SharedMLP
         # (``pyg_randla_net.py:241-253``).
+        from myria3d_tpu.ops.pallas_knn import stage_window
+
         fp_widths = (256, 128, 32, d_bottleneck)
         for j, width in enumerate(fp_widths):
             x_skip, pos_skip, mask_skip = skips[len(skips) - 1 - j]
-            from myria3d_tpu.ops.pallas_knn import stage_window
-
             x = knn_interpolate(
                 x, pos, mask, pos_skip, mask_skip, k=1,
                 exact=self.exact_knn,
