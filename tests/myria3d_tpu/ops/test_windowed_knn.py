@@ -133,6 +133,23 @@ def test_windowed_knn_matches_dense_recall(packed):
         np.testing.assert_allclose(d2_w, flat_sel, rtol=1e-4, atol=1e-4)
 
 
+def test_stage_window_density_scaling():
+    """stage_window: ~n_keys/4 density cap (floor 5 chunks), the round-4
+    honor clamp for small stages, 40k bucket unchanged, 0 passthrough."""
+    from myria3d_tpu.ops.pallas_knn import stage_window
+
+    assert stage_window(0, 12288) == 0
+    assert stage_window(4608, 12288) == 3072       # 12288/4, chunk-aligned
+    assert stage_window(4608, 16384) == 4096
+    assert stage_window(4608, 40448) == 4608       # density cap > cfg
+    # floor: never below 5 chunks from the density rule alone
+    assert stage_window(4608, 8192) == 2560
+    # honor clamp still rules tiny stages (w_chunks < n_chunks)
+    assert stage_window(4608, 3072) == 2048        # (6-2)*512
+    # cfg smaller than every cap passes through
+    assert stage_window(1024, 40448) == 1024
+
+
 def test_windowed_knn_packed_vs_classic_same_sets():
     """Packed extraction must select the same neighbor SETS as the classic
     two-reduction extraction away from 2^-11 score ties (random clouds:
