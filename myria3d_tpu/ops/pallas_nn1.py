@@ -69,10 +69,12 @@ def nearest_neighbor_pallas(
     # decimation keeps every encoder stage sorted, so the decoder's k=1
     # upsampling searches qualify): the kernel scans only ~window sorted
     # key positions per query tile. k=1 stays exact WITHIN the window
-    # (binning never loses a global minimum).
+    # (binning never loses a global minimum) — packed=False keeps that
+    # contract strict (packed selection could swap 2^-11 distance ties,
+    # and at k_real=1 it saves only a single reduction anyway).
     idx, d2 = knn_topk_pallas(
         q4, k4, 1, tile_q=TILE_Q, interpret=interpret, window=window,
-        query_mask=query_mask,
+        query_mask=query_mask, packed=False,
     )
     return idx[:, :, 0], d2[:, :, 0]
 
